@@ -1,0 +1,26 @@
+"""Test harness: run everything on a virtual 8-device CPU platform so
+pjit/shard_map collectives are exercised without TPU hardware (SURVEY §4).
+
+Note: this image's sitecustomize imports jax at interpreter start (to register
+the tunneled `axon` TPU backend) with JAX_PLATFORMS=axon pinned in the
+environment, so plain env-var overrides here are too late — use
+``jax.config.update`` before any backend is initialized instead.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+# Exact f32 matmuls in tests (TPU bf16 passes are exercised explicitly).
+jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.devices()[0].platform == "cpu"
+assert len(jax.devices()) == 8, jax.devices()
