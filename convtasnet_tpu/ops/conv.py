@@ -14,6 +14,8 @@ TPU-first formulations of the reference's conv stack
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -71,4 +73,4 @@ def torch_conv_xavier_normal(out_ch: int, in_ch_per_group: int, kernel_w: int):
     """
     fan_in = in_ch_per_group * kernel_w
     fan_out = out_ch * kernel_w
-    return float(jnp.sqrt(2.0 / (fan_in + fan_out)))
+    return math.sqrt(2.0 / (fan_in + fan_out))

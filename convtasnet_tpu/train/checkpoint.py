@@ -1,0 +1,98 @@
+"""Self-describing checkpoints.
+
+Parity with the reference "package" format (``src/conv_tasnet.py:78-94``,
+write sites ``src/solver.py:94-102,138-146``): one file holding the model
+hyperparameters, model parameters, optimizer state, epoch, and the full
+train/cv loss history — so evaluation/separation can reconstruct the model
+with no external config (``load_model_from_package``,
+``src/conv_tasnet.py:69-76``).
+
+Implementation: msgpack (via flax.serialization) for the tensors with a JSON
+metadata header. Saves are atomic (tmp + rename) so a preempted write never
+corrupts the best-model file; loads restore exact dtypes/shapes. An
+orbax-based async path can layer on top later without changing the format
+consumers see.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+from convtasnet_tpu.config import ConvTasNetConfig, SolverConfig, TrainConfig
+
+MAGIC = b"CTTPU1\x00\x00"
+
+
+def save_checkpoint(
+    path: str,
+    state,
+    model_cfg: ConvTasNetConfig,
+    epoch: int,
+    tr_loss=None,
+    cv_loss=None,
+    extra: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Write a self-describing checkpoint package atomically."""
+    meta = {
+        "format_version": 1,
+        "model": model_cfg.to_dict(),
+        "epoch": int(epoch),
+        "tr_loss": [float(x) for x in (tr_loss or [])],
+        "cv_loss": [float(x) for x in (cv_loss or [])],
+        "extra": extra or {},
+    }
+    state_dict = serialization.to_state_dict(state)
+    state_dict = jax.tree_util.tree_map(np.asarray, state_dict)
+    payload = serialization.msgpack_serialize(state_dict)
+    meta_bytes = json.dumps(meta).encode("utf-8")
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<Q", len(meta_bytes)))
+        f.write(meta_bytes)
+        f.write(payload)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """-> (state_dict, meta). ``state_dict`` is a nested dict of numpy arrays;
+    restore into a template with ``restore_state``."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+        if magic != MAGIC:
+            raise ValueError(f"not a convtasnet_tpu checkpoint: {path}")
+        (meta_len,) = struct.unpack("<Q", f.read(8))
+        meta = json.loads(f.read(meta_len).decode("utf-8"))
+        state_dict = serialization.msgpack_restore(f.read())
+    return state_dict, meta
+
+
+def restore_state(template_state, state_dict):
+    """Restore a TrainState (or any pytree) from a loaded state dict."""
+    return serialization.from_state_dict(template_state, state_dict)
+
+
+def model_config_from_checkpoint(path: str) -> ConvTasNetConfig:
+    """Reconstruct the architecture from checkpoint metadata alone (parity:
+    ``ConvTasNet.load_model``, ``src/conv_tasnet.py:62-76``)."""
+    _, meta = load_checkpoint(path)
+    return ConvTasNetConfig.from_dict(meta["model"])
+
+
+def load_params_for_inference(path: str):
+    """-> (model_cfg, {'params': ..., ['batch_stats': ...]}) ready for
+    ``ConvTasNet(cfg).apply``."""
+    state_dict, meta = load_checkpoint(path)
+    cfg = ConvTasNetConfig.from_dict(meta["model"])
+    variables = {"params": state_dict["params"]}
+    if state_dict.get("batch_stats"):
+        variables["batch_stats"] = state_dict["batch_stats"]
+    return cfg, variables

@@ -1,0 +1,196 @@
+"""Training orchestration: epochs, validation, LR schedule, checkpoints.
+
+Capability parity with the reference Solver (``src/solver.py:13-221``):
+
+- epoch loop with train pass + cross-validation pass,
+- LR halving after ``lr_patience`` (3) non-improving epochs, early stop after
+  ``stop_patience`` (7) when enabled (``src/solver.py:115-133``),
+- best-validation model save + optional per-epoch checkpoints with full loss
+  history embedded (``src/solver.py:94-102,136-146``),
+- resume from checkpoint restoring model/optimizer/epoch/loss curves
+  (``src/solver.py:56-68``; the reference's accidental
+  ``epochs += start_epoch + 1`` run-extension quirk is *not* copied — resume
+  continues to the originally configured epoch count),
+- per-iteration progress prints with running average loss and ms/batch
+  (``src/solver.py:200-205``).
+
+TPU-first: the inner loop is one donated jitted step; metrics are fetched
+asynchronously (loss is read back once per ``print_freq`` iterations rather
+than synchronizing the device each step as ``loss.item()`` does in the
+reference). Observability is pluggable (``utils/metrics.py``): stdout,
+JSONL history file (the visdom-curve equivalent), and the JAX profiler.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from convtasnet_tpu.config import TrainConfig
+from convtasnet_tpu.train import checkpoint as ckpt
+from convtasnet_tpu.train.train_step import (
+    TrainState,
+    create_train_state,
+    get_lr,
+    make_eval_step,
+    make_train_step,
+    set_lr,
+)
+from convtasnet_tpu.utils.metrics import MetricsLogger
+
+
+class Solver:
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        tr_loader,
+        cv_loader,
+        mesh=None,
+        logger: Optional[MetricsLogger] = None,
+    ):
+        self.cfg = cfg
+        self.tr_loader = tr_loader
+        self.cv_loader = cv_loader
+        self.mesh = mesh
+        s = cfg.solver
+        self.logger = logger or MetricsLogger(
+            log_dir=s.save_folder, print_freq=s.print_freq
+        )
+
+        rng = jax.random.PRNGKey(s.seed)
+        example_len = int(cfg.data.segment * cfg.data.sample_rate) if cfg.data.segment > 0 else 4 * cfg.data.sample_rate
+        self.state, self.tx = create_train_state(cfg.model, s, rng, example_len)
+        self.train_step = make_train_step(cfg.model, self.tx, mesh=mesh)
+        self.eval_step = make_eval_step(cfg.model, mesh=mesh)
+
+        # LR / early-stop state machine (src/solver.py:73-76)
+        self.start_epoch = 0
+        self.tr_loss: List[float] = []
+        self.cv_loss: List[float] = []
+        self.prev_val_loss = float("inf")
+        self.best_val_loss = float("inf")
+        self.val_no_impv = 0
+        self.halving = False
+
+        if s.continue_from:
+            self._resume(s.continue_from)
+
+    # -- checkpoint/resume -------------------------------------------------
+    def _resume(self, path: str) -> None:
+        state_dict, meta = ckpt.load_checkpoint(path)
+        self.state = ckpt.restore_state(self.state, state_dict)
+        self.start_epoch = int(meta.get("epoch", 0))
+        self.tr_loss = list(meta.get("tr_loss", []))[: self.start_epoch]
+        self.cv_loss = list(meta.get("cv_loss", []))[: self.start_epoch]
+        extra = meta.get("extra", {})
+        self.prev_val_loss = extra.get("prev_val_loss", float("inf"))
+        self.best_val_loss = extra.get("best_val_loss", float("inf"))
+        self.val_no_impv = extra.get("val_no_impv", 0)
+        self.logger.print(f"Resumed from {path} at epoch {self.start_epoch}")
+
+    def _save(self, path: str, epoch: int) -> None:
+        ckpt.save_checkpoint(
+            path,
+            self.state,
+            self.cfg.model,
+            epoch,
+            tr_loss=self.tr_loss,
+            cv_loss=self.cv_loss,
+            extra={
+                "prev_val_loss": self.prev_val_loss,
+                "best_val_loss": self.best_val_loss,
+                "val_no_impv": self.val_no_impv,
+                "lr": get_lr(self.state),
+                "solver": self.cfg.solver.to_dict(),
+                "data": self.cfg.data.to_dict(),
+            },
+        )
+
+    # -- epoch passes ------------------------------------------------------
+    def _run_train_epoch(self, epoch: int) -> float:
+        self.tr_loader.set_epoch(epoch)
+        start = time.time()
+        losses = []
+        pending = []  # device scalars, fetched lazily
+        for i, batch in enumerate(self.tr_loader):
+            self.state, metrics = self.train_step(self.state, batch)
+            pending.append(metrics["loss"])
+            if (i + 1) % self.cfg.solver.print_freq == 0:
+                losses.extend(float(x) for x in pending)
+                pending.clear()
+                avg = float(np.mean(losses))
+                ms = 1000 * (time.time() - start) / (i + 1)
+                self.logger.log_iter(
+                    epoch, i, {"loss": losses[-1], "avg_loss": avg, "ms_per_batch": ms}
+                )
+        losses.extend(float(x) for x in pending)
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def _run_cv_epoch(self, epoch: int) -> float:
+        total, count = 0.0, 0
+        for batch in self.cv_loader:
+            loss = self.eval_step(self.state, batch)
+            total += float(loss)
+            count += 1
+        return total / max(count, 1)
+
+    # -- main loop ---------------------------------------------------------
+    def train(self) -> Dict[str, Any]:
+        s = self.cfg.solver
+        os.makedirs(s.save_folder, exist_ok=True)
+        for epoch in range(self.start_epoch, s.epochs):
+            t0 = time.time()
+            tr_avg = self._run_train_epoch(epoch)
+            self.logger.log_epoch(epoch, "train", tr_avg, time.time() - t0)
+
+            self.tr_loss.append(tr_avg)
+
+            if s.enable_checkpoint:
+                path = os.path.join(
+                    s.save_folder, "checkpoint_models", f"epoch{epoch + 1}.ckpt"
+                )
+                self._save(path, epoch + 1)
+                self.logger.print(f"Saved checkpoint to {path}")
+
+            t1 = time.time()
+            val_loss = self._run_cv_epoch(epoch)
+            self.logger.log_epoch(epoch, "valid", val_loss, time.time() - t1)
+            self.cv_loss.append(val_loss)
+
+            # LR halving / early stopping (src/solver.py:115-133)
+            if s.half_lr:
+                if val_loss >= self.prev_val_loss:
+                    self.val_no_impv += 1
+                    if self.val_no_impv >= s.lr_patience:
+                        self.halving = True
+                    if self.val_no_impv >= s.stop_patience and s.early_stop:
+                        self.logger.print(
+                            f"No improvement for {s.stop_patience} epochs, "
+                            "early stopping."
+                        )
+                        break
+                else:
+                    self.val_no_impv = 0
+            if self.halving:
+                new_lr = get_lr(self.state) / 2.0
+                self.state = set_lr(self.state, new_lr)
+                self.halving = False
+                self.logger.print(f"Learning rate adjusted to: {new_lr:.6f}")
+            self.prev_val_loss = val_loss
+
+            if val_loss < self.best_val_loss:
+                self.best_val_loss = val_loss
+                path = os.path.join(s.save_folder, s.model_path)
+                self._save(path, epoch + 1)
+                self.logger.print(f"Found better validated model, saving to {path}")
+
+        return {
+            "tr_loss": self.tr_loss,
+            "cv_loss": self.cv_loss,
+            "best_val_loss": self.best_val_loss,
+            "state": self.state,
+        }
