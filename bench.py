@@ -1,0 +1,75 @@
+"""Benchmark: separation throughput (x real-time per chip) on the flagship
+paper-config model (4 s @ 8 kHz segments, bf16 compute).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: BASELINE.json north-star of 200x real-time per v5e chip (the
+reference publishes no throughput numbers at all — SURVEY §6).
+
+Method: the forward pass is iterated INNER times inside one jitted
+``lax.scan`` (output fed back as the next input so iterations serialize) and
+the result is fetched once — this measures on-device throughput rather than
+the host<->device round-trip latency of the tunneled test harness, which
+otherwise dominates (~100 ms RTT vs ~10 ms of compute). ``block_until_ready``
+does not actually block through the axon relay, so timing always brackets a
+``device_get``.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INNER = 10
+
+
+def main(batch_size: int = 8, seconds: float = 4.0, trials: int = 5) -> None:
+    from convtasnet_tpu.config import ConvTasNetConfig
+    from convtasnet_tpu.models.conv_tasnet import ConvTasNet, init_params
+
+    sr = 8000
+    T = int(seconds * sr)
+    cfg = ConvTasNetConfig(compute_dtype="bfloat16")
+    model = ConvTasNet(cfg)
+    variables = init_params(cfg, jax.random.PRNGKey(0), example_len=T)
+    params = variables["params"]
+
+    def chain(p, m):
+        def body(carry, _):
+            out = model.apply({"params": p}, carry)
+            return jnp.sum(out, axis=1), jnp.float32(0)
+
+        final, _ = jax.lax.scan(body, m, None, length=INNER)
+        return jnp.sum(final)
+
+    fwd = jax.jit(chain)
+    rng = np.random.default_rng(0)
+    mixture = jnp.asarray(rng.standard_normal((batch_size, T)), jnp.float32)
+
+    jax.device_get(fwd(params, mixture))  # compile + warmup
+    jax.device_get(fwd(params, mixture))
+
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        jax.device_get(fwd(params, mixture))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+
+    audio_seconds = batch_size * seconds * INNER
+    rtf = audio_seconds / dt
+    print(json.dumps({
+        "metric": "separation throughput (audio-sec/sec/chip, paper config)",
+        "value": round(rtf, 1),
+        "unit": "x realtime",
+        "vs_baseline": round(rtf / 200.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    main(batch_size=bs)
