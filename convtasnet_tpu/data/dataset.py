@@ -137,7 +137,7 @@ class SeparationDataset:
         self, utts: List[Utterance], max_hours: Optional[float]
     ) -> List[List[Utterance]]:
         bs, sr = self.batch_size, self.sample_rate
-        maxlen = int(self.cv_maxlen * sr)
+        maxlen = self.cv_maxlen * sr  # may be inf (evaluate: no length cap)
         plan: List[List[Utterance]] = []
         hours = 0.0
         start = 0

@@ -1,0 +1,116 @@
+"""Evaluation: SI-SNRi (and optional SDRi) on a mixture/sources test set.
+
+Capability parity with ``src/evaluate.py:21-130``: loads a self-describing
+checkpoint, runs full-utterance batches, PIT-aligns the estimates, and
+reports per-utterance and average SI-SNR improvement over the
+mixture-as-estimate baseline; SDRi goes through our native BSS-Eval
+(``bss_eval.py``) behind a flag since it is orders of magnitude slower than
+the network itself (the reference notes the same, ``src/evaluate.py:79``).
+
+TPU-first: the forward + PIT alignment runs jitted with time-padded batches
+bucketed to a multiple (one compile per bucket, masked exact lengths); SI-SNR
+improvements are computed on device, only scalars come back per batch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from convtasnet_tpu.data.dataset import SeparationDataset
+from convtasnet_tpu.losses.pit import pit_si_snr, reorder_source, si_snr_single
+from convtasnet_tpu.models.conv_tasnet import ConvTasNet
+from convtasnet_tpu.train.checkpoint import load_params_for_inference
+from convtasnet_tpu.utils.padding import remove_pad
+
+
+def _masked_sisnr_batch(est, src, mix, lengths):
+    """Per-utt SI-SNRi on device: mean-over-speakers SI-SNR of the PIT-aligned
+    estimates minus the mixture baseline (parity: ``cal_SISNRi``,
+    ``src/evaluate.py:94-111``). Zero-mean/energies honor true lengths."""
+    T = src.shape[-1]
+    mask = (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)
+
+    def masked_sisnr(ref, est_sig):
+        # ref/est: [B, T]; stats over true lengths only
+        n = jnp.maximum(lengths.astype(jnp.float32), 1.0)[:, None]
+        ref = (ref - jnp.sum(ref * mask, -1, keepdims=True) / n) * mask
+        est_sig = (est_sig - jnp.sum(est_sig * mask, -1, keepdims=True) / n) * mask
+        proj = (jnp.sum(ref * est_sig, -1, keepdims=True) * ref
+                / (jnp.sum(ref * ref, -1, keepdims=True) + 1e-8))
+        noise = est_sig - proj
+        return 10.0 * jnp.log10(
+            (jnp.sum(proj ** 2, -1) + 1e-8) / (jnp.sum(noise ** 2, -1) + 1e-8))
+
+    C = src.shape[1]
+    sisnr_est = jnp.mean(
+        jnp.stack([masked_sisnr(src[:, c], est[:, c]) for c in range(C)]), axis=0)
+    sisnr_mix = jnp.mean(
+        jnp.stack([masked_sisnr(src[:, c], mix) for c in range(C)]), axis=0)
+    return sisnr_est - sisnr_mix, sisnr_est, sisnr_mix
+
+
+def evaluate(
+    model_path: str,
+    data_dir: str,
+    batch_size: int = 1,
+    sample_rate: int = 8000,
+    cal_sdr: bool = False,
+    max_batches: Optional[int] = None,
+    pad_to_multiple: int = 8000,
+    verbose: bool = True,
+) -> Dict[str, float]:
+    """-> {"si_snri": avg dB, "sdri": avg dB (if cal_sdr)}."""
+    cfg, variables = load_params_for_inference(model_path)
+    model = ConvTasNet(cfg)
+    ds = SeparationDataset(
+        data_dir, batch_size, sample_rate, segment=-1.0,
+        cv_maxlen=float("inf"), num_speakers=cfg.num_speakers)
+
+    @jax.jit
+    def run(mixture, sources, lengths):
+        est = model.apply(variables, mixture, train=False)
+        _, best_perm = pit_si_snr(sources, est, lengths)
+        est = reorder_source(est, best_perm)
+        si_snri, si_est, si_mix = _masked_sisnr_batch(est, sources, mixture, lengths)
+        return est, si_snri
+
+    total_sisnri, total_sdri, count = 0.0, 0.0, 0
+    n_batches = len(ds) if max_batches is None else min(len(ds), max_batches)
+    for bi in range(n_batches):
+        batch = ds.load_batch(bi, pad_to_multiple=pad_to_multiple)
+        est, si_snri = run(
+            jnp.asarray(batch.mixture), jnp.asarray(batch.sources),
+            jnp.asarray(batch.lengths))
+        si_snri = np.asarray(jax.device_get(si_snri))
+        for b in range(len(si_snri)):
+            count += 1
+            total_sisnri += float(si_snri[b])
+            if verbose:
+                print(f"Utt {count}: SI-SNRi {float(si_snri[b]):.2f} dB", flush=True)
+            if cal_sdr:
+                from convtasnet_tpu.infer.bss_eval import bss_eval_sources
+
+                n = int(batch.lengths[b])
+                src_np = batch.sources[b, :, :n]
+                mix_np = batch.mixture[b, :n]
+                est_np = np.asarray(est[b])[:, :n]
+                sdr, _, _, _ = bss_eval_sources(src_np, est_np)
+                sdr_mix, _, _, _ = bss_eval_sources(
+                    src_np, np.tile(mix_np, (cfg.num_speakers, 1)),
+                    compute_permutation=False)
+                sdri = float(np.mean(sdr - sdr_mix))
+                total_sdri += sdri
+                if verbose:
+                    print(f"Utt {count}: SDRi {sdri:.2f} dB", flush=True)
+    result = {"si_snri": total_sisnri / max(count, 1)}
+    if cal_sdr:
+        result["sdri"] = total_sdri / max(count, 1)
+    if verbose:
+        print(f"Average SI-SNRi: {result['si_snri']:.2f} dB")
+        if cal_sdr:
+            print(f"Average SDRi: {result['sdri']:.2f} dB")
+    return result

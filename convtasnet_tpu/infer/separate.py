@@ -1,0 +1,66 @@
+"""Deployment separation: mixture wavs in, per-speaker wavs out.
+
+Capability parity with ``src/separate.py:17-57``: loads a self-describing
+checkpoint, auto-builds the manifest from a mixture directory if needed,
+batches length-sorted mixtures, and writes ``<utt>.wav`` (the input mixture)
+plus ``<utt>_s{c}.wav`` per separated speaker. The reference's
+``strip('.wav')`` filename bug (``src/separate.py:53`` — strips characters,
+not a suffix) is fixed with a real splitext.
+
+TPU-first: batched jitted forward with time-bucketed padding; only the
+unpadded samples come back to the host.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from convtasnet_tpu.data.audio_io import write_wav
+from convtasnet_tpu.data.dataset import EvalDataset
+from convtasnet_tpu.models.conv_tasnet import ConvTasNet
+from convtasnet_tpu.train.checkpoint import load_params_for_inference
+from convtasnet_tpu.utils.padding import remove_pad
+
+
+def separate(
+    model_path: str,
+    out_dir: str,
+    mix_dir: Optional[str] = None,
+    mix_json: Optional[str] = None,
+    batch_size: int = 1,
+    sample_rate: int = 8000,
+    pad_to_multiple: int = 8000,
+    write_mix: bool = True,
+) -> int:
+    """Separate every mixture; returns the number of utterances written."""
+    cfg, variables = load_params_for_inference(model_path)
+    model = ConvTasNet(cfg)
+    ds = EvalDataset(mix_dir=mix_dir, mix_json=mix_json,
+                     batch_size=batch_size, sample_rate=sample_rate)
+    os.makedirs(out_dir, exist_ok=True)
+
+    @jax.jit
+    def run(mixture):
+        return model.apply(variables, mixture, train=False)
+
+    n_written = 0
+    for bi in range(len(ds)):
+        mixture, lengths, names = ds.load_batch(bi, pad_to_multiple=pad_to_multiple)
+        est = np.asarray(jax.device_get(run(jnp.asarray(mixture))))
+        est_list = remove_pad(est, lengths)
+        mix_list = remove_pad(mixture, lengths)
+        for b, name in enumerate(names):
+            stem = os.path.splitext(os.path.basename(name))[0]
+            if write_mix:
+                write_wav(os.path.join(out_dir, stem + ".wav"),
+                          mix_list[b], sample_rate)
+            for c in range(cfg.num_speakers):
+                write_wav(os.path.join(out_dir, f"{stem}_s{c + 1}.wav"),
+                          est_list[b][c], sample_rate)
+            n_written += 1
+    return n_written
