@@ -1,0 +1,192 @@
+"""Streaming (low-latency) separation with the causal model variant.
+
+The reference supports a causal configuration (cLN + left-padded convs +
+Chomp, ``src/conv_tasnet.py:182,257-258,281-295``) but has no streaming
+runtime — inference is always full-utterance. This module adds the missing
+capability: a stateful chunk-by-chunk separator with algorithmic latency of
+one encoder window (L samples = 2.5 ms at 8 kHz for L=20) plus the chosen
+chunk size.
+
+Design: every op in the causal model is frame-local except the depthwise
+dilated convs, whose left context is bounded by ``(P-1)*dilation`` frames.
+The carried state is therefore
+
+- ``sample_carry``: the last ``L - hop`` raw samples (encoder window overlap),
+- per block: the last ``(P-1)*dilation`` post-norm activations feeding the
+  depthwise conv (a dilated-conv ring buffer, cf. the Fast WaveNet queues),
+- ``ola_carry``: the decoder's trailing ``L - hop`` overlap-add samples.
+
+``stream_step`` is a pure jitted function ``(params, state, chunk) ->
+(state, out)`` emitting exactly ``len(chunk)`` output samples per call.
+Alignment contract: with zero-initialized state, the concatenated stream
+output (plus ``stream_flush``) is *bit-identical* to the batch causal
+forward on the input left-padded with ``L - hop`` zeros — i.e. the stream
+runs at an algorithmic latency of ``L - hop`` samples (1.25 ms at the paper
+config), which is the earliest any encoder window covering a sample can
+close. It reuses the exact parameter pytree of ``ConvTasNet`` so any
+trained/imported causal checkpoint streams unchanged (tested).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from convtasnet_tpu.config import ConvTasNetConfig
+from convtasnet_tpu.ops.conv import pointwise_conv, prelu
+from convtasnet_tpu.ops.frames import overlap_and_add
+from convtasnet_tpu.ops.norm import channelwise_layer_norm
+
+
+def _assert_streamable(cfg: ConvTasNetConfig) -> None:
+    if not cfg.causal or cfg.norm_type == "gLN":
+        raise ValueError(
+            "streaming requires the causal variant (causal=True with cLN/BN "
+            "norms); gLN needs the whole utterance (src/conv_tasnet.py:358-360)"
+        )
+
+
+def init_stream_state(
+    cfg: ConvTasNetConfig, batch_size: int, dtype=jnp.float32
+) -> Dict[str, Any]:
+    """Zero state == left zero-padding of the batch causal model."""
+    _assert_streamable(cfg)
+    hop = cfg.stride
+    state: Dict[str, Any] = {
+        "sample_carry": jnp.zeros((batch_size, cfg.kernel_size - hop), dtype),
+        "ola_carry": jnp.zeros(
+            (batch_size, cfg.num_speakers, cfg.kernel_size - hop), dtype
+        ),
+        "blocks": {},
+    }
+    for r in range(cfg.num_repeats):
+        for x in range(cfg.num_blocks):
+            halo = (cfg.conv_kernel - 1) * 2 ** x
+            state["blocks"][f"block_r{r}_x{x}"] = jnp.zeros(
+                (batch_size, halo, cfg.hidden), dtype
+            )
+    return state
+
+
+def _norm_stream(params_norm, stats, y, cfg):
+    """Per-frame norm for streaming (cLN or BN-with-running-stats)."""
+    if cfg.norm_type == "cLN":
+        return channelwise_layer_norm(y, params_norm["gamma"], params_norm["beta"])
+    # BN at inference: running statistics, frame-local
+    from convtasnet_tpu.ops.norm import batch_norm
+
+    return batch_norm(y, params_norm["gamma"], params_norm["beta"],
+                      stats["mean"], stats["var"])
+
+
+def stream_step(
+    cfg: ConvTasNetConfig,
+    variables: Dict[str, Any],
+    state: Dict[str, Any],
+    chunk: jax.Array,
+) -> Tuple[Dict[str, Any], jax.Array]:
+    """Process one chunk.
+
+    Args:
+        cfg: causal model config.
+        variables: {'params': ..., ['batch_stats': ...]} from training/import.
+        state: from ``init_stream_state`` or a previous step.
+        chunk: [M, n*hop] new samples (n >= 1 whole hops).
+
+    Returns:
+        (new_state, est [M, C, n*hop]) — exactly the batch-model output for
+        these sample positions.
+    """
+    _assert_streamable(cfg)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {}).get("separator", {})
+    hop = cfg.stride
+    L = cfg.kernel_size
+    M, n_new = chunk.shape
+    assert n_new % hop == 0 and n_new > 0, "chunk must be whole hops"
+    new_state = {"blocks": {}}
+
+    # --- encoder: frames over [carry | chunk] ---------------------------------
+    buf = jnp.concatenate([state["sample_carry"], chunk], axis=-1)
+    K = n_new // hop  # frames finalized this step
+    # frame k spans buf[k*hop : k*hop+L]
+    sub = buf.reshape(M, -1, hop)  # [(L-hop)/hop + K, hop] subframes
+    q = L // hop
+    frames = jnp.concatenate([sub[:, i : i + K, :] for i in range(q)], axis=-1)
+    new_state["sample_carry"] = buf[:, -(L - hop):]
+    w = jax.nn.relu(
+        jnp.einsum("mkl,ln->mkn", frames, params["encoder"]["w"]))
+
+    # --- separator ------------------------------------------------------------
+    sep = params["separator"]
+    y = channelwise_layer_norm(w, sep["input_norm"]["gamma"],
+                               sep["input_norm"]["beta"])
+    y = pointwise_conv(y, sep["bottleneck"])
+    for r in range(cfg.num_repeats):
+        for x in range(cfg.num_blocks):
+            name = f"block_r{r}_x{x}"
+            blk = sep[name]
+            d = 2 ** x
+            halo = (cfg.conv_kernel - 1) * d
+            res = y
+            h = pointwise_conv(y, blk["conv1x1"])
+            h = prelu(h, blk["prelu1"])
+            h = _norm_stream(blk["norm1"], stats.get(name, {}).get("norm1"), h, cfg)
+            # causal depthwise conv with carried history
+            hist = state["blocks"][name]
+            hbuf = jnp.concatenate([hist, h], axis=1)  # [M, halo+K, H]
+            new_state["blocks"][name] = hbuf[:, -halo:, :]
+            wdw = blk["dwconv"]
+            out = hbuf[:, halo : halo + K, :] * wdw[cfg.conv_kernel - 1]
+            for p in range(cfg.conv_kernel - 1):
+                out = out + hbuf[:, p * d : p * d + K, :] * wdw[p]
+            h = prelu(out, blk["prelu2"])
+            h = _norm_stream(blk["norm2"], stats.get(name, {}).get("norm2"), h, cfg)
+            h = pointwise_conv(h, blk["pwconv"])
+            y = res + h
+    score = pointwise_conv(y, sep["mask_conv"])
+    score = score.reshape(M, K, cfg.num_speakers, cfg.n_filters)
+    mask = (jax.nn.softmax(score, axis=2) if cfg.mask_nonlinear == "softmax"
+            else jax.nn.relu(score))
+
+    # --- decoder + incremental OLA -------------------------------------------
+    est_frames = jnp.einsum(
+        "mkn,mkcn,nl->mckl", w, mask, params["decoder"]["w"])
+    ola = overlap_and_add(est_frames, hop)  # [M, C, (K-1)*hop + L]
+    ola = ola.at[:, :, : L - hop].add(state["ola_carry"])
+    out = ola[:, :, : K * hop]
+    new_state["ola_carry"] = ola[:, :, K * hop :]
+    return new_state, out
+
+
+def stream_flush(
+    cfg: ConvTasNetConfig, state: Dict[str, Any]
+) -> jax.Array:
+    """Emit the trailing ``L - hop`` partially-accumulated samples."""
+    return state["ola_carry"]
+
+
+class StreamingSeparator:
+    """Convenience wrapper holding jitted step + state for serving."""
+
+    def __init__(self, cfg: ConvTasNetConfig, variables, batch_size: int = 1):
+        _assert_streamable(cfg)
+        self.cfg = cfg
+        self.variables = variables
+        self.state = init_stream_state(cfg, batch_size)
+        self._step = jax.jit(
+            lambda st, chunk: stream_step(cfg, variables, st, chunk))
+
+    def process(self, chunk: jax.Array) -> jax.Array:
+        self.state, out = self._step(self.state, chunk)
+        return out
+
+    def flush(self) -> jax.Array:
+        return stream_flush(self.cfg, self.state)
+
+    @property
+    def latency_samples(self) -> int:
+        """Algorithmic latency: one encoder window."""
+        return self.cfg.kernel_size
