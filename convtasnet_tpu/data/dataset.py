@@ -87,9 +87,13 @@ class SeparationDataset:
         cv_maxlen: float = 8.0,
         max_hours: Optional[float] = None,
         num_speakers: int = 2,
+        pad_rows_to_multiple: int = 1,
     ):
         self.json_dir = json_dir
         self.batch_size = batch_size
+        # Round row counts up to this multiple with zero-weight rows so the
+        # batch axis divides evenly over a data-parallel mesh.
+        self.pad_rows_to_multiple = max(1, pad_rows_to_multiple)
         self.sample_rate = sample_rate
         self.segment = segment
         self.segment_len = int(segment * sample_rate) if segment >= 0 else -1
@@ -191,10 +195,12 @@ class SeparationDataset:
                     sources.append(srcs[:, -seg:])
             B = len(mixes)
             assert B <= bs, (B, bs)
-            mixture = np.zeros((bs, seg), np.float32)
-            src_arr = np.zeros((bs, C, seg), np.float32)
-            lengths = np.full((bs,), seg, np.int32)
-            weights = np.zeros((bs,), np.float32)
+            m = self.pad_rows_to_multiple
+            rows = ((bs + m - 1) // m) * m
+            mixture = np.zeros((rows, seg), np.float32)
+            src_arr = np.zeros((rows, C, seg), np.float32)
+            lengths = np.full((rows,), seg, np.int32)
+            weights = np.zeros((rows,), np.float32)
             for b in range(B):
                 mixture[b] = mixes[b]
                 src_arr[b] = sources[b]
@@ -207,17 +213,22 @@ class SeparationDataset:
             mixes.append(waves[0])
             sources.append(np.stack(waves[1:], axis=0))
         B = len(mixes)
-        maxT = max(m.shape[-1] for m in mixes)
+        m = self.pad_rows_to_multiple
+        rows = ((B + m - 1) // m) * m
+        maxT = max(mx.shape[-1] for mx in mixes)
         maxT = ((maxT + pad_to_multiple - 1) // pad_to_multiple) * pad_to_multiple
-        mixture = np.zeros((B, maxT), np.float32)
-        src_arr = np.zeros((B, C, maxT), np.float32)
-        lengths = np.zeros((B,), np.int32)
-        weights = np.ones((B,), np.float32)
+        mixture = np.zeros((rows, maxT), np.float32)
+        src_arr = np.zeros((rows, C, maxT), np.float32)
+        # padding rows keep a nonzero length to avoid 0-division in the loss;
+        # their weight is 0 so they contribute nothing
+        lengths = np.full((rows,), maxT, np.int32)
+        weights = np.zeros((rows,), np.float32)
         for b in range(B):
             T = mixes[b].shape[-1]
             mixture[b, :T] = mixes[b]
             src_arr[b, :, :T] = sources[b]
             lengths[b] = T
+            weights[b] = 1.0
         return Batch(mixture, lengths, src_arr, weights)
 
 

@@ -88,29 +88,32 @@ class BatchLoader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                futures = [
-                    pool.submit(
-                        self.dataset.load_batch, int(i), self.pad_to_multiple
-                    )
-                    for i in order[: self.prefetch + self.num_workers]
-                ]
-                next_submit = len(futures)
-                for k in range(len(order)):
-                    if stop.is_set():
-                        return
-                    batch = futures[k].result()
-                    work_q.put(self._put(batch))
-                    if next_submit < len(order):
-                        futures.append(
-                            pool.submit(
-                                self.dataset.load_batch,
-                                int(order[next_submit]),
-                                self.pad_to_multiple,
-                            )
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    futures = [
+                        pool.submit(
+                            self.dataset.load_batch, int(i), self.pad_to_multiple
                         )
-                        next_submit += 1
-            work_q.put(None)
+                        for i in order[: self.prefetch + self.num_workers]
+                    ]
+                    next_submit = len(futures)
+                    for k in range(len(order)):
+                        if stop.is_set():
+                            return
+                        batch = futures[k].result()
+                        work_q.put(self._put(batch))
+                        if next_submit < len(order):
+                            futures.append(
+                                pool.submit(
+                                    self.dataset.load_batch,
+                                    int(order[next_submit]),
+                                    self.pad_to_multiple,
+                                )
+                            )
+                            next_submit += 1
+                work_q.put(None)
+            except BaseException as e:  # propagate into the consumer
+                work_q.put(e)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -119,6 +122,8 @@ class BatchLoader:
                 item = work_q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -1,0 +1,107 @@
+"""Mixture-generation tool tests: P.56 active level invariants, pairing
+lists, and the end-to-end corpus generator."""
+
+import os
+
+import numpy as np
+import pytest
+
+from convtasnet_tpu.data.audio_io import read_wav, write_wav
+from convtasnet_tpu.tools.activlev import active_level, normalize_active
+from convtasnet_tpu.tools.mixture import (
+    create_mixtures,
+    make_pair_list,
+    read_pair_list,
+    write_pair_list,
+)
+
+SR = 8000
+
+
+def _speechlike(duration, fs, active_frac=0.5, seed=0):
+    """Bursty signal: active speech-band noise separated by silence."""
+    rng = np.random.default_rng(seed)
+    T = int(duration * fs)
+    x = np.zeros(T)
+    burst = int(0.25 * fs)
+    t = 0
+    while t + burst <= T:
+        if rng.uniform() < active_frac:
+            x[t:t + burst] = rng.standard_normal(burst)
+        t += burst
+    return x
+
+
+def test_active_level_ignores_silence():
+    """Appending silence must not change the *active* level (the whole point
+    of P.56 vs long-term RMS)."""
+    x = _speechlike(4.0, SR, active_frac=1.0)
+    lev1, act1 = active_level(x, SR)
+    padded = np.concatenate([x, np.zeros(4 * SR)])
+    lev2, act2 = active_level(padded, SR)
+    assert abs(10 * np.log10(lev2 / lev1)) < 1.0, (lev1, lev2)
+    assert act2 < act1 + 0.05
+
+
+def test_active_level_tracks_power():
+    x = 0.25 * _speechlike(4.0, SR, active_frac=1.0, seed=1)
+    lev, act = active_level(x, SR, highpass=False)
+    # fully-active white noise: active level ~ long-term power (0.0625)
+    assert abs(10 * np.log10(lev / 0.0625)) < 1.5
+    assert act > 0.8
+
+
+def test_normalize_active_unit_level():
+    x = 0.1 * _speechlike(3.0, SR, active_frac=0.6, seed=2)
+    y, lev = normalize_active(x, SR)
+    lev2, _ = active_level(y, SR)
+    assert abs(10 * np.log10(lev2)) < 1.0  # ~0 dB after normalization
+
+
+def test_pair_list_roundtrip(tmp_path):
+    files = {f"spk{i}": [f"/data/spk{i}/utt{j}.wav" for j in range(3)]
+             for i in range(4)}
+    rows = make_pair_list(files, 10, seed=0)
+    assert len(rows) == 10
+    for r in rows:
+        spk = [p.split("/")[2] for p in r.paths]
+        assert spk[0] != spk[1]  # different speakers
+        assert abs(r.snrs[0] + r.snrs[1]) < 1e-6  # symmetric +/- SNR
+        assert 0.01 <= abs(r.snrs[0]) <= 2.5
+    p = str(tmp_path / "mix_2_spk_tr.txt")
+    write_pair_list(rows, p)
+    back = read_pair_list(p)
+    assert [r.paths for r in back] == [r.paths for r in rows]
+    np.testing.assert_allclose([r.snrs for r in back], [r.snrs for r in rows])
+
+
+@pytest.mark.parametrize("mode", ["min", "max"])
+def test_create_mixtures_end_to_end(tmp_path, mode):
+    # source corpus: two "speakers" with different-length utterances
+    src_dir = tmp_path / "src"
+    os.makedirs(src_dir)
+    rng = np.random.default_rng(0)
+    lens = {"a": 3 * SR, "b": 2 * SR}
+    for name, n in lens.items():
+        x = 0.2 * _speechlike(n / SR, SR, active_frac=1.0,
+                              seed=ord(name))
+        write_wav(str(src_dir / f"{name}.wav"), x, SR)
+    rows = make_pair_list(
+        {"a": [str(src_dir / "a.wav")], "b": [str(src_dir / "b.wav")]},
+        1, seed=1)
+    out = str(tmp_path / "out" / "tr")
+    names = create_mixtures(rows, out, SR, mode=mode)
+    assert len(names) == 1
+    mix, _ = read_wav(os.path.join(out, "mix", names[0] + ".wav"))
+    s1, _ = read_wav(os.path.join(out, "s1", names[0] + ".wav"))
+    s2, _ = read_wav(os.path.join(out, "s2", names[0] + ".wav"))
+    want_len = (2 if mode == "min" else 3) * SR
+    assert len(mix) == len(s1) == len(s2) == want_len
+    # mix == s1 + s2 (up to PCM16 quantization)
+    np.testing.assert_allclose(mix, s1 + s2, atol=3.0 / 32768)
+    # peak scaled to 0.9
+    peak = max(np.abs(mix).max(), np.abs(s1).max(), np.abs(s2).max())
+    assert 0.85 < peak <= 0.91
+    # scaling factors recorded
+    z = np.load(os.path.join(out, "scaling.npz"))
+    assert list(z["names"]) == names
