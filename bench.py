@@ -50,6 +50,16 @@ def main(batch_size: int = 8, seconds: float = 4.0, trials: int = 5) -> None:
     rng = np.random.default_rng(0)
     mixture = jnp.asarray(rng.standard_normal((batch_size, T)), jnp.float32)
 
+    # host<->device round-trip latency (subtracted from each measurement)
+    triv = jax.jit(lambda m: jnp.sum(m))
+    jax.device_get(triv(mixture))
+    rtt = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        jax.device_get(triv(mixture))
+        rtt.append(time.perf_counter() - t0)
+    rtt_s = float(np.median(rtt))
+
     jax.device_get(fwd(params, mixture))  # compile + warmup
     jax.device_get(fwd(params, mixture))
 
@@ -58,7 +68,7 @@ def main(batch_size: int = 8, seconds: float = 4.0, trials: int = 5) -> None:
         t0 = time.perf_counter()
         jax.device_get(fwd(params, mixture))
         times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    dt = max(float(np.median(times)) - rtt_s, 1e-9)
 
     audio_seconds = batch_size * seconds * INNER
     rtf = audio_seconds / dt

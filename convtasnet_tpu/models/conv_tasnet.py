@@ -66,7 +66,8 @@ class Norm(nn.Module):
     gLN/cLN carry learnable gamma/beta [N] (init 1/0); BN additionally keeps
     running mean/var in the ``batch_stats`` collection (torch
     ``nn.BatchNorm1d`` semantics: momentum 0.1, eps 1e-5, stats over
-    batch+time per channel).
+    batch+time per channel). setup-style so the fused Pallas path can read
+    ``gamma``/``beta``/running stats without invoking the op.
 
     Note: the reference's whole-model Xavier loop actually *overwrites* the
     [1,C,1] gamma/beta of gLN/cLN with Xavier noise — an inherited accident we
@@ -77,46 +78,46 @@ class Norm(nn.Module):
     features: int
     stats_dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        if self.norm_type not in ("gLN", "cLN", "BN"):
+            raise ValueError(f"unsupported norm_type: {self.norm_type}")
+        self.gamma = self.param("gamma", nn.initializers.ones, (self.features,))
+        self.beta = self.param("beta", nn.initializers.zeros, (self.features,))
+        if self.norm_type == "BN":
+            self.ra_mean = self.variable(
+                "batch_stats", "mean",
+                lambda: jnp.zeros((self.features,), self.stats_dtype))
+            self.ra_var = self.variable(
+                "batch_stats", "var",
+                lambda: jnp.ones((self.features,), self.stats_dtype))
+
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         orig_dtype = x.dtype
+        xf = x.astype(self.stats_dtype)
         if self.norm_type in ("gLN", "cLN"):
-            gamma = self.param("gamma", nn.initializers.ones, (self.features,))
-            beta = self.param("beta", nn.initializers.zeros, (self.features,))
-            xf = x.astype(self.stats_dtype)
             fn = global_layer_norm if self.norm_type == "gLN" else channelwise_layer_norm
-            return fn(xf, gamma, beta).astype(orig_dtype)
-        if self.norm_type == "BN":
-            gamma = self.param("gamma", nn.initializers.ones, (self.features,))
-            beta = self.param("beta", nn.initializers.zeros, (self.features,))
-            ra_mean = self.variable(
-                "batch_stats", "mean", lambda: jnp.zeros((self.features,), self.stats_dtype)
-            )
-            ra_var = self.variable(
-                "batch_stats", "var", lambda: jnp.ones((self.features,), self.stats_dtype)
-            )
-            xf = x.astype(self.stats_dtype)
-            if train:
-                axes = tuple(range(xf.ndim - 1))
-                mean = jnp.mean(xf, axis=axes)
-                var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
-                # Cross-shard batch stats when running under a mapped axis.
-                axis = "data"
-                try:
-                    mean = jax.lax.pmean(mean, axis)
-                    var = jax.lax.pmean(var, axis)
-                except NameError:
-                    pass
-                n = xf.size // self.features
-                momentum = 0.1  # torch BatchNorm1d default
-                if not self.is_initializing():
-                    unbiased = var * (n / max(n - 1, 1))
-                    ra_mean.value = (1 - momentum) * ra_mean.value + momentum * mean
-                    ra_var.value = (1 - momentum) * ra_var.value + momentum * unbiased
-            else:
-                mean, var = ra_mean.value, ra_var.value
-            return batch_norm(xf, gamma, beta, mean, var).astype(orig_dtype)
-        raise ValueError(f"unsupported norm_type: {self.norm_type}")
+            return fn(xf, self.gamma, self.beta).astype(orig_dtype)
+        if train:
+            axes = tuple(range(xf.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            # Cross-shard batch stats when running under a mapped axis.
+            try:
+                mean = jax.lax.pmean(mean, "data")
+                var = jax.lax.pmean(var, "data")
+            except NameError:
+                pass
+            n = xf.size // self.features
+            momentum = 0.1  # torch BatchNorm1d default
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                self.ra_mean.value = (
+                    (1 - momentum) * self.ra_mean.value + momentum * mean)
+                self.ra_var.value = (
+                    (1 - momentum) * self.ra_var.value + momentum * unbiased)
+        else:
+            mean, var = self.ra_mean.value, self.ra_var.value
+        return batch_norm(xf, self.gamma, self.beta, mean, var).astype(orig_dtype)
 
 
 class Encoder(nn.Module):
@@ -186,13 +187,30 @@ class TemporalBlock(nn.Module):
         w_dw = self.param("dwconv", _conv_init(H, 1, P), (P, H))
         a2 = self.param("prelu2", nn.initializers.constant(0.25), ())
         w_out = self.param("pwconv", _conv_init(B, H, 1), (H, B))
+        norm1 = Norm(cfg.norm_type, H, name="norm1")
+        norm2 = Norm(cfg.norm_type, H, name="norm2")
+
+        if cfg.use_pallas and not train and x.ndim == 3:
+            # Fused single-kernel block (inference path, ops/pallas/tcn_block.py)
+            from convtasnet_tpu.ops.pallas.tcn_block import fused_tcn_block
+
+            bn_stats = None
+            if cfg.norm_type == "BN":
+                bn_stats = (norm1.ra_mean.value, norm1.ra_var.value,
+                            norm2.ra_mean.value, norm2.ra_var.value)
+            return fused_tcn_block(
+                x, w_in, w_dw, w_out, a1, a2,
+                norm1.gamma, norm1.beta, norm2.gamma, norm2.beta,
+                dilation=self.dilation, causal=cfg.causal,
+                norm_type=cfg.norm_type, bn_stats=bn_stats,
+                interpret=jax.default_backend() == "cpu")
 
         y = pointwise_conv(x, w_in.astype(x.dtype))
         y = prelu(y, a1.astype(y.dtype))
-        y = Norm(cfg.norm_type, H, name="norm1")(y, train=train)
+        y = norm1(y, train=train)
         y = depthwise_conv1d(y, w_dw.astype(y.dtype), self.dilation, cfg.causal)
         y = prelu(y, a2.astype(y.dtype))
-        y = Norm(cfg.norm_type, H, name="norm2")(y, train=train)
+        y = norm2(y, train=train)
         y = pointwise_conv(y, w_out.astype(y.dtype))
         return x + y
 
