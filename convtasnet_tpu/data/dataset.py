@@ -36,6 +36,26 @@ import numpy as np
 from convtasnet_tpu.data.audio_io import read_wav
 
 
+def load_waves(paths: Sequence[str], sample_rate: int,
+               num_samples: int) -> List[np.ndarray]:
+    """Decode a group of wavs (one utterance's mix+sources) to float32 mono.
+
+    Hot path: the native C++ batch decoder (``data/native.py``, threaded,
+    zero-copy into a dense buffer) when the files are already at the target
+    rate; falls back to the numpy codec (+resampler) otherwise.
+    """
+    from convtasnet_tpu.data import native
+
+    if native.available():
+        lib_sr = native.load_library().wav_sample_rate(paths[0].encode())
+        if lib_sr == sample_rate:
+            audio, lengths = native.decode_batch(
+                list(paths), num_samples, num_threads=len(paths))
+            if all(int(l) == num_samples for l in lengths):
+                return [audio[i] for i in range(len(paths))]
+    return [read_wav(p, sample_rate)[0] for p in paths]
+
+
 @dataclass
 class Utterance:
     paths: Tuple[str, ...]  # (mix, s1, ..., sC); eval: just (mix,)
@@ -183,7 +203,7 @@ class SeparationDataset:
         if self.segment_len >= 0:
             seg, bs = self.segment_len, self.batch_size
             for u in utts:
-                waves = [read_wav(p, self.sample_rate)[0] for p in u.paths]
+                waves = load_waves(u.paths, self.sample_rate, u.num_samples)
                 mix, srcs = waves[0], np.stack(waves[1:], axis=0)  # [C, T]
                 T = mix.shape[-1]
                 max_index = min(T - seg + 1, (bs - 1) * seg + 1)
@@ -209,7 +229,7 @@ class SeparationDataset:
 
         # full-utterance mode
         for u in utts:
-            waves = [read_wav(p, self.sample_rate)[0] for p in u.paths]
+            waves = load_waves(u.paths, self.sample_rate, u.num_samples)
             mixes.append(waves[0])
             sources.append(np.stack(waves[1:], axis=0))
         B = len(mixes)
