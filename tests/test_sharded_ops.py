@@ -1,0 +1,66 @@
+"""Sequence-parallel (time-sharded) inference vs the unsharded model on the
+virtual 8-device mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from convtasnet_tpu.config import ConvTasNetConfig
+from convtasnet_tpu.models.conv_tasnet import ConvTasNet, init_params
+from convtasnet_tpu.parallel.mesh import make_mesh
+from convtasnet_tpu.parallel.sharded_ops import separate_sharded
+
+TINY = dict(n_filters=16, kernel_size=8, bottleneck=12, hidden=24,
+            conv_kernel=3, num_blocks=3, num_repeats=2, num_speakers=2)
+
+
+def _reference(cfg, variables, mixture, Tp):
+    """Unsharded forward on the input padded to Tp + hop (frame alignment of
+    the sharded path), trimmed back."""
+    hop = cfg.stride
+    x = jnp.pad(mixture, (0, Tp + hop - mixture.shape[-1]))[None]
+    out = ConvTasNet(cfg).apply(variables, x, train=False)
+    return np.asarray(out[0])
+
+
+@pytest.mark.parametrize("norm_type,causal", [("gLN", False), ("cLN", True),
+                                              ("BN", False)])
+def test_sharded_matches_unsharded(norm_type, causal):
+    cfg = ConvTasNetConfig(**TINY, norm_type=norm_type, causal=causal)
+    T = 8 * 1000  # divides evenly over 8 shards
+    variables = init_params(cfg, jax.random.PRNGKey(0), example_len=T)
+    mixture = jax.random.normal(jax.random.PRNGKey(1), (T,))
+    mesh = make_mesh(n_data=8)
+    got = np.asarray(separate_sharded(cfg, variables, mixture, mesh))
+    want = _reference(cfg, variables, mixture, T)[:, :T]
+    assert got.shape == (2, T)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_uneven_length_pads():
+    cfg = ConvTasNetConfig(**TINY, norm_type="gLN")
+    T = 7777  # not a multiple of shards*hop
+    variables = init_params(cfg, jax.random.PRNGKey(0), example_len=8000)
+    mixture = jax.random.normal(jax.random.PRNGKey(2), (T,))
+    mesh = make_mesh(n_data=8)
+    got = np.asarray(separate_sharded(cfg, variables, mixture, mesh))
+    assert got.shape == (2, T)
+    hop = cfg.stride
+    quantum = 8 * hop
+    Tp = ((T + quantum - 1) // quantum) * quantum
+    want = _reference(cfg, variables, mixture, Tp)[:, :T]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_softmax_three_speakers():
+    cfg = ConvTasNetConfig(**{**TINY, "num_speakers": 3},
+                           mask_nonlinear="softmax")
+    T = 8 * 800
+    variables = init_params(cfg, jax.random.PRNGKey(0), example_len=T)
+    mixture = jax.random.normal(jax.random.PRNGKey(3), (T,))
+    mesh = make_mesh(n_data=8)
+    got = np.asarray(separate_sharded(cfg, variables, mixture, mesh))
+    want = _reference(cfg, variables, mixture, T)[:, :T]
+    assert got.shape == (3, T)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
