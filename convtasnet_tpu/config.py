@@ -46,6 +46,8 @@ class ConvTasNetConfig:
     compute_dtype: str = "float32"  # bfloat16 for MXU-friendly training
     param_dtype: str = "float32"
     use_pallas: bool = False        # fused Pallas TCN kernels on the hot path
+    remat: bool = False             # rematerialize TCN blocks in the backward
+                                    # pass (trade FLOPs for HBM on long inputs)
 
     @property
     def stride(self) -> int:

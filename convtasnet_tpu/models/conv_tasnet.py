@@ -179,7 +179,7 @@ class TemporalBlock(nn.Module):
     dilation: int
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         cfg = self.cfg
         B, H, P = cfg.bottleneck, cfg.hidden, cfg.conv_kernel
         w_in = self.param("conv1x1", _conv_init(H, B, 1), (B, H))
@@ -232,10 +232,16 @@ class TemporalConvNet(nn.Module):
         y = Norm("cLN", N, name="input_norm")(mixture_w, train=train)
         w_bottle = self.param("bottleneck", _conv_init(B, N, 1), (N, B))
         y = pointwise_conv(y, w_bottle.astype(y.dtype))
+        block_cls = TemporalBlock
+        if cfg.remat:
+            # recompute block activations in the backward pass instead of
+            # keeping 32 x [M, K, H] residents in HBM (jax.checkpoint);
+            # `train` (arg 2 counting self) stays a static python bool
+            block_cls = nn.remat(TemporalBlock, static_argnums=(2,))
         for r in range(cfg.num_repeats):
             for x in range(cfg.num_blocks):
-                y = TemporalBlock(cfg, dilation=2 ** x, name=f"block_r{r}_x{x}")(
-                    y, train=train
+                y = block_cls(cfg, dilation=2 ** x, name=f"block_r{r}_x{x}")(
+                    y, train
                 )
         w_mask = self.param("mask_conv", _conv_init(C * N, B, 1), (B, C * N))
         score = pointwise_conv(y, w_mask.astype(y.dtype))

@@ -24,6 +24,7 @@ JSONL history file (the visdom-curve equivalent), and the JAX profiler.
 from __future__ import annotations
 
 import os
+import signal
 import time
 from typing import Any, Dict, List, Optional
 
@@ -76,6 +77,13 @@ class Solver:
         self.val_no_impv = 0
         self.halving = False
 
+        # Failure/preemption handling (absent in the reference — recovery was
+        # manual restart, SURVEY §5): on SIGTERM/SIGINT a checkpoint is
+        # written at the next batch boundary and training exits cleanly;
+        # resume continues from it via ``continue_from``.
+        self._interrupted = False
+        self.handle_preemption = True
+
         if s.continue_from:
             self._resume(s.continue_from)
 
@@ -117,6 +125,8 @@ class Solver:
         losses = []
         pending = []  # device scalars, fetched lazily
         for i, batch in enumerate(self.tr_loader):
+            if self._interrupted:
+                break
             self.state, metrics = self.train_step(self.state, batch)
             pending.append(metrics["loss"])
             if (i + 1) % self.cfg.solver.print_freq == 0:
@@ -142,9 +152,36 @@ class Solver:
     def train(self) -> Dict[str, Any]:
         s = self.cfg.solver
         os.makedirs(s.save_folder, exist_ok=True)
+        prev_handlers = {}
+        if self.handle_preemption:
+            def _on_signal(signum, frame):
+                self.logger.print(
+                    f"Received signal {signum}: checkpointing and stopping.")
+                self._interrupted = True
+
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                try:
+                    prev_handlers[sig] = signal.signal(sig, _on_signal)
+                except ValueError:  # non-main thread
+                    pass
+        try:
+            return self._train_loop()
+        finally:
+            for sig, h in prev_handlers.items():
+                signal.signal(sig, h)
+
+    def _train_loop(self) -> Dict[str, Any]:
+        s = self.cfg.solver
         for epoch in range(self.start_epoch, s.epochs):
             t0 = time.time()
             tr_avg = self._run_train_epoch(epoch)
+            if self._interrupted:
+                path = os.path.join(s.save_folder, "preempted.ckpt")
+                self._save(path, epoch)
+                self.logger.print(
+                    f"Interrupted mid-epoch {epoch + 1}; state saved to {path} "
+                    f"(resume with continue_from)")
+                break
             self.logger.log_epoch(epoch, "train", tr_avg, time.time() - t0)
 
             self.tr_loss.append(tr_avg)

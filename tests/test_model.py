@@ -146,3 +146,22 @@ def test_param_count_paper_config():
     variables = init_params(cfg, jax.random.PRNGKey(0), example_len=8000)
     n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"]))
     assert 8.0e6 < n < 9.5e6, n
+
+
+def test_remat_matches_no_remat():
+    import dataclasses
+    cfg = ConvTasNetConfig(**TINY)
+    variables = init_params(cfg, jax.random.PRNGKey(0), example_len=1600)
+    mix = jax.random.normal(jax.random.PRNGKey(1), (2, 1600))
+    src = jax.random.normal(jax.random.PRNGKey(2), (2, 2, 1600))
+
+    def loss(c, params):
+        out = ConvTasNet(c).apply({"params": params}, mix, train=True)
+        return jnp.mean((out - src) ** 2)
+
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    l1, g1 = jax.value_and_grad(lambda p: loss(cfg, p))(variables["params"])
+    l2, g2 = jax.value_and_grad(lambda p: loss(cfg_r, p))(variables["params"])
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

@@ -1,0 +1,115 @@
+"""Solver state-machine tests: LR halving / early stopping (parity with the
+reference's rules, ``src/solver.py:115-133``), best-model tracking, and
+preemption checkpointing — driven with a stubbed eval step so validation
+losses follow a script."""
+
+import os
+import signal
+
+import numpy as np
+import jax
+import pytest
+
+from convtasnet_tpu.config import (
+    ConvTasNetConfig, DataConfig, SolverConfig, TrainConfig)
+from convtasnet_tpu.train.solver import Solver
+from convtasnet_tpu.train.train_step import get_lr
+
+TINY = ConvTasNetConfig(
+    n_filters=16, kernel_size=8, bottleneck=12, hidden=24, conv_kernel=3,
+    num_blocks=2, num_repeats=1, num_speakers=2)
+
+
+class FakeLoader:
+    """Yields a fixed list of random batches."""
+
+    def __init__(self, n_batches=2, B=2, T=800, seed=0):
+        rng = np.random.default_rng(seed)
+        import jax.numpy as jnp
+        self.batches = [
+            (jnp.asarray(rng.standard_normal((B, T)), jnp.float32),
+             jnp.full((B,), T, jnp.int32),
+             jnp.asarray(rng.standard_normal((B, 2, T)), jnp.float32),
+             jnp.ones((B,), jnp.float32))
+            for _ in range(n_batches)]
+
+    def __iter__(self):
+        return iter(self.batches)
+
+    def __len__(self):
+        return len(self.batches)
+
+    def set_epoch(self, e):
+        pass
+
+
+def _solver(tmp_path, epochs=10, cv_script=None, **solver_kw):
+    cfg = TrainConfig(
+        model=TINY, data=DataConfig(segment=0.1, batch_size=2),
+        solver=SolverConfig(epochs=epochs, lr=1e-3, print_freq=1000,
+                            save_folder=str(tmp_path / "exp"), **solver_kw))
+    s = Solver(cfg, FakeLoader(), FakeLoader(n_batches=1))
+    if cv_script is not None:
+        script = list(cv_script)
+        s._run_cv_epoch = lambda epoch: script[epoch]
+    return s
+
+
+def test_lr_halves_after_three_bad_epochs(tmp_path):
+    # Epoch 0 "improves" vs inf; epochs 1..4 don't. The counter reaches the
+    # patience of 3 at epoch 3 and the halving flag re-arms each epoch after
+    # (reference semantics) -> two halvings by the end of epoch 4.
+    s = _solver(tmp_path, epochs=5, cv_script=[5.0, 5.0, 5.0, 5.0, 5.0],
+                early_stop=False)
+    s.train()
+    np.testing.assert_allclose(get_lr(s.state), 1e-3 / 4, rtol=1e-6)
+
+
+def test_improvement_resets_counter(tmp_path):
+    s = _solver(tmp_path, epochs=4, cv_script=[5.0, 4.0, 3.0, 2.0])
+    s.train()
+    np.testing.assert_allclose(get_lr(s.state), 1e-3, rtol=1e-6)  # no halving
+
+
+def test_early_stop_after_seven(tmp_path):
+    s = _solver(tmp_path, epochs=20, cv_script=[1.0] + [2.0] * 19)
+    result = s.train()
+    # epoch 0 improves; epochs 1..7 don't -> stop at the 7th bad epoch
+    assert len(result["cv_loss"]) == 8
+
+
+def test_best_model_saved_only_on_improvement(tmp_path):
+    s = _solver(tmp_path, epochs=3, cv_script=[3.0, 4.0, 2.0])
+    s.train()
+    best = os.path.join(str(tmp_path / "exp"), "final.ckpt")
+    assert os.path.exists(best)
+    from convtasnet_tpu.train.checkpoint import load_checkpoint
+    _, meta = load_checkpoint(best)
+    assert meta["epoch"] == 3  # saved after the epoch-2 (1-based 3) improvement
+    assert meta["extra"]["best_val_loss"] == 2.0
+
+
+def test_preemption_checkpoint(tmp_path):
+    s = _solver(tmp_path, epochs=50)
+    calls = {"n": 0}
+    orig = s.train_step
+
+    def step_and_interrupt(state, batch):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            os.kill(os.getpid(), signal.SIGTERM)
+        return orig(state, batch)
+
+    s.train_step = step_and_interrupt
+    s.train()
+    assert calls["n"] <= 5  # stopped long before 50 epochs x 2 batches
+    ckpt = os.path.join(str(tmp_path / "exp"), "preempted.ckpt")
+    assert os.path.exists(ckpt)
+    # resumable
+    cfg2 = TrainConfig(
+        model=TINY, data=DataConfig(segment=0.1, batch_size=2),
+        solver=SolverConfig(epochs=2, lr=1e-3, print_freq=1000,
+                            save_folder=str(tmp_path / "exp2"),
+                            continue_from=ckpt))
+    s2 = Solver(cfg2, FakeLoader(), FakeLoader(n_batches=1))
+    assert int(s2.state.step) == int(s.state.step)
