@@ -11,7 +11,6 @@ optional polyphase resampler for sample-rate conversion (librosa.load's
 from __future__ import annotations
 
 import struct
-import wave
 from typing import Optional, Tuple
 
 import numpy as np

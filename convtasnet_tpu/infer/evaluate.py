@@ -21,10 +21,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from convtasnet_tpu.data.dataset import SeparationDataset
-from convtasnet_tpu.losses.pit import pit_si_snr, reorder_source, si_snr_single
+from convtasnet_tpu.losses.pit import pit_si_snr, reorder_source
 from convtasnet_tpu.models.conv_tasnet import ConvTasNet
 from convtasnet_tpu.train.checkpoint import load_params_for_inference
-from convtasnet_tpu.utils.padding import remove_pad
 
 
 def _masked_sisnr_batch(est, src, mix, lengths):

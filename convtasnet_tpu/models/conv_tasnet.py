@@ -39,7 +39,7 @@ from convtasnet_tpu.ops.conv import (
     prelu,
     torch_conv_xavier_normal,
 )
-from convtasnet_tpu.ops.frames import frame_signal, num_frames, overlap_and_add
+from convtasnet_tpu.ops.frames import frame_signal, overlap_and_add
 from convtasnet_tpu.ops.norm import (
     batch_norm,
     channelwise_layer_norm,

@@ -29,10 +29,10 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from convtasnet_tpu.config import ConvTasNetConfig
-from convtasnet_tpu.ops.conv import pointwise_conv, prelu
+from convtasnet_tpu.ops.conv import prelu
 
 EPS = 1e-8
 

@@ -25,7 +25,7 @@ import jax
 import numpy as np
 from flax import serialization
 
-from convtasnet_tpu.config import ConvTasNetConfig, SolverConfig, TrainConfig
+from convtasnet_tpu.config import ConvTasNetConfig
 
 MAGIC = b"CTTPU1\x00\x00"
 

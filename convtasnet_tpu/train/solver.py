@@ -34,7 +34,6 @@ import numpy as np
 from convtasnet_tpu.config import TrainConfig
 from convtasnet_tpu.train import checkpoint as ckpt
 from convtasnet_tpu.train.train_step import (
-    TrainState,
     create_train_state,
     get_lr,
     make_eval_step,

@@ -15,8 +15,6 @@ all-reduce (SURVEY §2 parallelism table).
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax

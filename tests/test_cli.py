@@ -5,7 +5,6 @@ import json
 import os
 
 import numpy as np
-import pytest
 
 from convtasnet_tpu.cli import main
 from tests.test_data import _write_corpus

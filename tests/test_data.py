@@ -6,12 +6,11 @@ import json
 import os
 
 import numpy as np
-import pytest
 
 from convtasnet_tpu.data.audio_io import read_wav, wav_duration_samples, write_wav
 from convtasnet_tpu.data.dataset import EvalDataset, SeparationDataset
 from convtasnet_tpu.data.loader import BatchLoader
-from convtasnet_tpu.data.manifest import build_manifest, build_manifests
+from convtasnet_tpu.data.manifest import build_manifests
 
 SR = 8000
 

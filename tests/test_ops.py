@@ -5,7 +5,6 @@ same math (torch's own conv/var ops — not reference code) per SURVEY §4's
 test plan."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 import torch

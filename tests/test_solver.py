@@ -7,8 +7,6 @@ import os
 import signal
 
 import numpy as np
-import jax
-import pytest
 
 from convtasnet_tpu.config import (
     ConvTasNetConfig, DataConfig, SolverConfig, TrainConfig)

@@ -7,7 +7,6 @@ import os
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from convtasnet_tpu.config import (
     ConvTasNetConfig,
@@ -25,7 +24,6 @@ from convtasnet_tpu.train.checkpoint import (
 from convtasnet_tpu.train.train_step import (
     create_train_state,
     get_lr,
-    make_eval_step,
     make_train_step,
     set_lr,
 )
