@@ -1,0 +1,186 @@
+"""Tensor (channel) parallelism: shard the TCN's hidden dimension over the
+``model`` mesh axis.
+
+The reference has no tensor parallelism (SURVEY §2 parallelism table — the
+11M-param model doesn't *need* it, but the capability gives headroom for
+wider variants and demonstrates the full 2-D ``(data, model)`` mesh). The
+sharding is the Megatron pattern adapted to the TCN block:
+
+- ``W_in  [B, H]``  column-sharded ``P(None, 'model')`` — each shard computes
+  its own ``H/m`` hidden channels;
+- PReLU + depthwise conv are per-channel → fully local;
+- gLN/cLN statistics are channel reductions → one tiny ``psum`` pair per
+  norm over the ``model`` axis (two scalars for gLN, one ``[K]`` row-sum for
+  cLN);
+- ``W_out [H, B]``  row-sharded ``P('model', None)`` — partial products are
+  combined with one ``psum`` per block (the Megatron g-operator);
+- everything on the ``B``-wide bottleneck path (residual stream, bottleneck,
+  mask head, encoder/decoder) is replicated across ``model`` and sharded on
+  ``data`` over the batch.
+
+``tp_forward`` is jit/shard_map-compiled over both axes at once and is
+numerically identical to the unsharded model (tested on a 2x4 virtual mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from convtasnet_tpu.config import ConvTasNetConfig
+from convtasnet_tpu.ops.conv import depthwise_conv1d, prelu
+from convtasnet_tpu.ops.frames import frame_signal, overlap_and_add
+
+EPS = 1e-8
+
+
+def param_partition_specs(cfg: ConvTasNetConfig, variables: Dict[str, Any]):
+    """PartitionSpec pytree for the model variables under channel sharding."""
+
+    def block_spec():
+        norm = {"gamma": P("model"), "beta": P("model")}
+        return {
+            "conv1x1": P(None, "model"),
+            "prelu1": P(),
+            "dwconv": P(None, "model"),
+            "prelu2": P(),
+            "pwconv": P("model", None),
+            "norm1": dict(norm),
+            "norm2": dict(norm),
+        }
+
+    sep = {
+        "input_norm": {"gamma": P(), "beta": P()},
+        "bottleneck": P(),
+        "mask_conv": P(),
+    }
+    for r in range(cfg.num_repeats):
+        for x in range(cfg.num_blocks):
+            sep[f"block_r{r}_x{x}"] = block_spec()
+    specs: Dict[str, Any] = {
+        "params": {
+            "encoder": {"w": P()},
+            "decoder": {"w": P()},
+            "separator": sep,
+        }
+    }
+    if "batch_stats" in variables:
+        stats = {}
+        for r in range(cfg.num_repeats):
+            for x in range(cfg.num_blocks):
+                stats[f"block_r{r}_x{x}"] = {
+                    "norm1": {"mean": P("model"), "var": P("model")},
+                    "norm2": {"mean": P("model"), "var": P("model")},
+                }
+        specs["batch_stats"] = {"separator": stats}
+    return specs
+
+
+def _norm_tp(y, prm, stats, cfg, axis):
+    """Norm over the channel-sharded hidden dim. y: [M, K, H_local]."""
+    yf = y.astype(jnp.float32)
+    if cfg.norm_type == "gLN":
+        # per-sample stats over (K, H): psum two scalars per sample
+        s1 = jax.lax.psum(jnp.sum(yf, axis=(1, 2)), axis)     # [M]
+        s2 = jax.lax.psum(jnp.sum(yf * yf, axis=(1, 2)), axis)
+        n = jax.lax.psum(
+            jnp.full((), yf.shape[1] * yf.shape[2], jnp.float32), axis)
+        mean = (s1 / n)[:, None, None]
+        var = (s2 / n)[:, None, None] - mean * mean
+    elif cfg.norm_type == "cLN":
+        # per-(sample, frame) stats over H: psum [M, K] row sums
+        s1 = jax.lax.psum(jnp.sum(yf, axis=-1), axis)         # [M, K]
+        s2 = jax.lax.psum(jnp.sum(yf * yf, axis=-1), axis)
+        n = jax.lax.psum(jnp.full((), yf.shape[-1], jnp.float32), axis)
+        mean = (s1 / n)[..., None]
+        var = (s2 / n)[..., None] - mean * mean
+    else:  # BN eval: stats are sharded per-channel, local affine
+        mean, var = stats["mean"], stats["var"]
+        out = (yf - mean) * jax.lax.rsqrt(var + 1e-5)
+        return (out * prm["gamma"] + prm["beta"]).astype(y.dtype)
+    out = (yf - mean) * jax.lax.rsqrt(var + EPS)
+    return (out * prm["gamma"] + prm["beta"]).astype(y.dtype)
+
+
+def _cln_full(y, gamma, beta):
+    yf = y.astype(jnp.float32)
+    mean = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(yf - mean), axis=-1, keepdims=True)
+    return ((yf - mean) * jax.lax.rsqrt(var + EPS) * gamma + beta).astype(y.dtype)
+
+
+def _tp_shard_forward(cfg: ConvTasNetConfig, variables, mixture, axis: str):
+    """Local forward: mixture [M_local, T]; H-dim params are local shards."""
+    params = variables["params"]
+    stats_all = variables.get("batch_stats", {}).get("separator", {})
+    frames = frame_signal(mixture, cfg.kernel_size, cfg.stride)
+    w = jax.nn.relu(jnp.einsum("mkl,ln->mkn", frames, params["encoder"]["w"]))
+
+    sep = params["separator"]
+    y = _cln_full(w, sep["input_norm"]["gamma"], sep["input_norm"]["beta"])
+    y = y @ sep["bottleneck"]
+    for r in range(cfg.num_repeats):
+        for x in range(cfg.num_blocks):
+            name = f"block_r{r}_x{x}"
+            blk = sep[name]
+            st = stats_all.get(name, {})
+            res = y
+            h = prelu(y @ blk["conv1x1"], blk["prelu1"])      # [M, K, H/m]
+            h = _norm_tp(h, blk["norm1"], st.get("norm1"), cfg, axis)
+            h = depthwise_conv1d(h, blk["dwconv"], 2 ** x, cfg.causal)
+            h = prelu(h, blk["prelu2"])
+            h = _norm_tp(h, blk["norm2"], st.get("norm2"), cfg, axis)
+            partial = h @ blk["pwconv"]                        # partial [.., B]
+            y = res + jax.lax.psum(partial, axis)
+    score = y @ sep["mask_conv"]
+    M, K = score.shape[0], score.shape[1]
+    score = score.reshape(M, K, cfg.num_speakers, cfg.n_filters)
+    mask = (jax.nn.softmax(score, axis=2) if cfg.mask_nonlinear == "softmax"
+            else jax.nn.relu(score))
+    est = jnp.einsum("mkn,mkcn,nl->mckl", w, mask, params["decoder"]["w"])
+    out = overlap_and_add(est, cfg.stride)
+    T = mixture.shape[-1]
+    if out.shape[-1] < T:
+        out = jnp.pad(out, ((0, 0), (0, 0), (0, T - out.shape[-1])))
+    return out
+
+
+def tp_forward(
+    cfg: ConvTasNetConfig,
+    variables: Dict[str, Any],
+    mixture: jax.Array,
+    mesh: Mesh,
+    model_axis: str = "model",
+    data_axis: str = "data",
+) -> jax.Array:
+    """Forward over the full 2-D (data, model) mesh.
+
+    ``mixture [M, T]`` is sharded over ``data`` on the batch; the hidden
+    dimension of every TCN block is sharded over ``model``. Batch size must
+    divide the data-axis size.
+    """
+    specs = param_partition_specs(cfg, variables)
+    fn = jax.shard_map(
+        functools.partial(_tp_shard_forward, cfg, axis=model_axis),
+        mesh=mesh,
+        in_specs=(specs, P(data_axis, None)),
+        out_specs=P(data_axis, None, None),
+        check_vma=False,
+    )
+    return fn(variables, mixture)
+
+
+def shard_variables(variables, mesh: Mesh, cfg: ConvTasNetConfig):
+    """Place the variable pytree on the mesh with TP shardings."""
+    from jax.sharding import NamedSharding
+
+    specs = param_partition_specs(cfg, variables)
+    return jax.tree_util.tree_map(
+        lambda v, s: jax.device_put(v, NamedSharding(mesh, s)),
+        variables, specs,
+        is_leaf=lambda v: not isinstance(v, dict),
+    )
