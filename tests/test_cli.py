@@ -66,3 +66,56 @@ def test_prepare_command(tmp_path):
     rc = main(["prepare", "--pair-list", pl, "--out-dir", out])
     assert rc == 0
     assert len(os.listdir(os.path.join(out, "mix"))) >= 1
+
+
+def test_plot_history(tmp_path):
+    import json
+    from convtasnet_tpu.utils.plot import plot_history
+
+    hist = tmp_path / "history.jsonl"
+    with open(hist, "w") as f:
+        for e in range(3):
+            f.write(json.dumps({"kind": "iter", "epoch": e, "iter": 0,
+                                "loss": 5.0 - e}) + "\n")
+            f.write(json.dumps({"kind": "epoch", "epoch": e, "split": "train",
+                                "loss": 5.0 - e, "seconds": 1.0}) + "\n")
+            f.write(json.dumps({"kind": "epoch", "epoch": e, "split": "valid",
+                                "loss": 5.5 - e, "seconds": 1.0}) + "\n")
+    out = plot_history(str(hist), per_iter=True)
+    assert os.path.exists(out) and out.endswith("loss.png")
+    assert os.path.getsize(out) > 1000
+
+
+def test_16khz_config(tmp_path):
+    """16 kHz pipeline (WSJ-MIX-Hindi-style): manifests + a train batch +
+    model forward at sr=16000."""
+    import jax
+    from convtasnet_tpu.config import ConvTasNetConfig
+    from convtasnet_tpu.data.manifest import build_manifests
+    from convtasnet_tpu.data.dataset import SeparationDataset
+    from convtasnet_tpu.models.conv_tasnet import ConvTasNet, init_params
+    from tests.test_data import _write_corpus
+    import tests.test_data as td
+
+    root = str(tmp_path / "d")
+    # reuse the corpus writer at 16k by generating at SR then re-labelling:
+    rng = np.random.default_rng(0)
+    for part in ("mix", "s1", "s2"):
+        os.makedirs(os.path.join(root, "tr", part), exist_ok=True)
+    from convtasnet_tpu.data.audio_io import write_wav
+    for i in range(2):
+        s1 = 0.3 * rng.standard_normal(32000).astype(np.float32)
+        s2 = 0.3 * rng.standard_normal(32000).astype(np.float32)
+        for part, sig in (("mix", s1 + s2), ("s1", s1), ("s2", s2)):
+            write_wav(os.path.join(root, "tr", part, f"u{i}.wav"), sig, 16000)
+    jd = os.path.join(root, "json")
+    build_manifests(root, jd, 16000, splits=("tr",))
+    ds = SeparationDataset(os.path.join(jd, "tr"), 2, 16000, segment=1.0)
+    b = ds.load_batch(0)
+    assert b.mixture.shape[1] == 16000  # 1 s at 16 kHz
+    cfg = ConvTasNetConfig(n_filters=16, kernel_size=8, bottleneck=12,
+                           hidden=24, conv_kernel=3, num_blocks=2,
+                           num_repeats=1, num_speakers=2, sample_rate=16000)
+    variables = init_params(cfg, jax.random.PRNGKey(0), example_len=16000)
+    out = ConvTasNet(cfg).apply(variables, b.mixture)
+    assert out.shape == (2, 2, 16000)
