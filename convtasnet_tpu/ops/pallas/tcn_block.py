@@ -65,7 +65,6 @@ def _kernel(
     out_ref,    # [1, Kp, B]
     h_buf,      # VMEM [L + Kp + R, H] bf16 scratch (halo for dilated conv)
     h2_buf,     # VMEM [Kp, H] bf16 scratch
-    acc_ref,    # SMEM [4] f32: gLN stats accumulators
     *,
     K: int,
     tile: int,
@@ -74,6 +73,10 @@ def _kernel(
     causal: bool,
     norm_type: str,
 ):
+    # Tile loops are unrolled in Python (n_tiles is small, <= 4 at the
+    # default tile) so Mosaic can software-pipeline across tiles; the
+    # valid-row mask is applied only on tiles overlapping the K boundary;
+    # gLN statistics accumulate in registers.
     Kp = x_ref.shape[1]
     H = w_in_ref.shape[1]
     P = conv_kernel
@@ -84,10 +87,6 @@ def _kernel(
     a2 = scal_ref[0, 1]
     inv_n = 1.0 / (K * H)
 
-    acc_ref[0] = 0.0
-    acc_ref[1] = 0.0
-    acc_ref[2] = 0.0
-    acc_ref[3] = 0.0
     # zero the halo regions once (static sizes)
     if left > 0:
         h_buf[:left, :] = jnp.zeros((left, H), h_buf.dtype)
@@ -99,90 +98,83 @@ def _kernel(
     def affine(y, gi: int, bi: int):
         return y * aff_ref[gi:gi + 1, :] + aff_ref[bi:bi + 1, :]
 
+    def maybe_mask(y, k0):
+        return y * _tile_rows(tile, k0, K) if k0 + tile > K else y
+
     # ---- pass 1: h = PReLU(x @ W_in), store + stats ----
-    def p1(t, _):
+    s1 = jnp.float32(0.0)
+    s2 = jnp.float32(0.0)
+    for t in range(n_tiles):
         k0 = t * tile
         x = x_ref[0, pl.ds(k0, tile), :]
         h = jnp.dot(x, w_in, preferred_element_type=jnp.float32)
         h = jnp.where(h >= 0, h, a1 * h)
-        mask = _tile_rows(tile, k0, K)
-        h = h * mask  # zero padded rows
+        h = maybe_mask(h, k0)  # zero padded rows
         if norm_type == "gLN":
-            acc_ref[0] += jnp.sum(h)
-            acc_ref[1] += jnp.sum(h * h)
+            s1 += jnp.sum(h)
+            s2 += jnp.sum(h * h)
         elif norm_type == "cLN":  # per-row stats: normalize immediately
             mean = jnp.mean(h, axis=1, keepdims=True)
             var = jnp.mean(h * h, axis=1, keepdims=True) - mean * mean
-            h = affine((h - mean) * jax.lax.rsqrt(var + EPS), 0, 1) * mask
+            h = maybe_mask(affine((h - mean) * jax.lax.rsqrt(var + EPS), 0, 1), k0)
         else:  # BN: running stats
             h = (h - aff_ref[4:5, :]) * jax.lax.rsqrt(aff_ref[5:6, :] + BN_EPS)
-            h = affine(h, 0, 1) * mask
+            h = maybe_mask(affine(h, 0, 1), k0)
         h_buf[pl.ds(left + k0, tile), :] = h.astype(h_buf.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, n_tiles, p1, 0, unroll=False)
 
     # ---- pass 2: gLN normalization of h_buf in place ----
     if norm_type == "gLN":
-        mean1 = acc_ref[0] * inv_n
-        var1 = acc_ref[1] * inv_n - mean1 * mean1
-        rs1 = jax.lax.rsqrt(var1 + EPS)
-
-        def p2(t, _):
+        mean1 = s1 * inv_n
+        rs1 = jax.lax.rsqrt(s2 * inv_n - mean1 * mean1 + EPS)
+        for t in range(n_tiles):
             k0 = t * tile
             h = h_buf[pl.ds(left + k0, tile), :].astype(jnp.float32)
-            h = affine((h - mean1) * rs1, 0, 1) * _tile_rows(tile, k0, K)
+            h = maybe_mask(affine((h - mean1) * rs1, 0, 1), k0)
             h_buf[pl.ds(left + k0, tile), :] = h.astype(h_buf.dtype)
-            return 0
-
-        jax.lax.fori_loop(0, n_tiles, p2, 0, unroll=False)
 
     # ---- pass 3: dilated depthwise conv + PReLU, stats ----
-    def p3(t, _):
+    s3 = jnp.float32(0.0)
+    s4 = jnp.float32(0.0)
+    dw = dw_ref[:].astype(jnp.float32)
+    for t in range(n_tiles):
         k0 = t * tile
         # logical out row r reads h[r + p*dilation - left]; h_buf stores
         # logical row r at index left + r  =>  read offset k0 + p*dilation.
         acc = None
         for p in range(P):
             seg = h_buf[pl.ds(k0 + p * dilation, tile), :].astype(jnp.float32)
-            term = seg * dw_ref[p:p + 1, :].astype(jnp.float32)
+            term = seg * dw[p:p + 1, :]
             acc = term if acc is None else acc + term
         y = jnp.where(acc >= 0, acc, a2 * acc)
-        mask = _tile_rows(tile, k0, K)
-        y = y * mask
+        y = maybe_mask(y, k0)
         if norm_type == "gLN":
-            acc_ref[2] += jnp.sum(y)
-            acc_ref[3] += jnp.sum(y * y)
+            s3 += jnp.sum(y)
+            s4 += jnp.sum(y * y)
         elif norm_type == "cLN":
             mean = jnp.mean(y, axis=1, keepdims=True)
             var = jnp.mean(y * y, axis=1, keepdims=True) - mean * mean
-            y = affine((y - mean) * jax.lax.rsqrt(var + EPS), 2, 3) * mask
+            y = maybe_mask(affine((y - mean) * jax.lax.rsqrt(var + EPS), 2, 3), k0)
         else:
             y = (y - aff_ref[6:7, :]) * jax.lax.rsqrt(aff_ref[7:8, :] + BN_EPS)
-            y = affine(y, 2, 3) * mask
+            y = maybe_mask(affine(y, 2, 3), k0)
         h2_buf[pl.ds(k0, tile), :] = y.astype(h2_buf.dtype)
-        return 0
 
-    jax.lax.fori_loop(0, n_tiles, p3, 0, unroll=False)
+    if norm_type == "gLN":
+        mean2 = s3 * inv_n
+        rs2 = jax.lax.rsqrt(s4 * inv_n - mean2 * mean2 + EPS)
 
     w_out = w_out_ref[:]
 
     # ---- pass 4: (gLN) normalize + out matmul + residual ----
-    def p4(t, _):
+    for t in range(n_tiles):
         k0 = t * tile
         y = h2_buf[pl.ds(k0, tile), :].astype(jnp.float32)
         if norm_type == "gLN":
-            mean2 = acc_ref[2] * inv_n
-            var2 = acc_ref[3] * inv_n - mean2 * mean2
-            y = affine((y - mean2) * jax.lax.rsqrt(var2 + EPS), 2, 3)
-            y = y * _tile_rows(tile, k0, K)
+            y = maybe_mask(affine((y - mean2) * rs2, 2, 3), k0)
         out = jnp.dot(y.astype(w_out.dtype), w_out,
                       preferred_element_type=jnp.float32)
         x = x_ref[0, pl.ds(k0, tile), :]
         out_ref[0, pl.ds(k0, tile), :] = x + out.astype(x.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, n_tiles, p4, 0, unroll=False)
 
 
 def fused_tcn_block(
@@ -199,7 +191,7 @@ def fused_tcn_block(
     causal: bool,
     norm_type: str,
     bn_stats: Optional[Tuple[jax.Array, ...]] = None,
-    tile: int = 400,
+    tile: int = 1600,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused forward of one TCN block. Returns [M, K, B] (same dtype as x)."""
@@ -248,7 +240,6 @@ def fused_tcn_block(
         scratch_shapes=[
             pltpu.VMEM((left + Kp + right, H), jnp.bfloat16),
             pltpu.VMEM((Kp, H), jnp.bfloat16),
-            pltpu.SMEM((4,), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
