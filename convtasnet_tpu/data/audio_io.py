@@ -17,18 +17,23 @@ import numpy as np
 
 
 def read_wav(path: str, sample_rate: Optional[int] = None) -> Tuple[np.ndarray, int]:
-    """Read a WAV file -> (float32 mono signal in [-1, 1], sample_rate).
+    """Read a WAV (or uncompressed NIST SPHERE) file -> (float32 mono signal
+    in [-1, 1], sample_rate).
 
     Multi-channel audio is averaged to mono (librosa.load default). If
     ``sample_rate`` is given and differs from the file's rate, the signal is
-    resampled (librosa.load ``sr=`` parity).
+    resampled (librosa.load ``sr=`` parity). SPHERE support covers the role
+    of the reference's sph2pipe build (``tools/Makefile:9-11``) for
+    uncompressed files; shorten-compressed corpora still need sph2pipe.
     """
     with open(path, "rb") as f:
         header = f.read(12)
         if len(header) == 12 and header[:4] == b"RIFF" and header[8:12] == b"WAVE":
             data, sr = _read_riff(f)
+        elif header[:8] == b"NIST_1A\n":
+            data, sr = _read_sphere(f, header)
         else:
-            raise ValueError(f"not a RIFF/WAVE file: {path}")
+            raise ValueError(f"not a RIFF/WAVE or NIST SPHERE file: {path}")
     if data.ndim == 2:
         data = data.mean(axis=1)
     if sample_rate is not None and sample_rate != sr:
@@ -79,6 +84,50 @@ def _read_riff(f) -> Tuple[np.ndarray, int]:
             raise ValueError(f"unsupported PCM bit depth: {bits}")
     else:
         raise ValueError(f"unsupported WAV format code: {audio_format}")
+    if n_channels > 1:
+        x = x.reshape(-1, n_channels)
+    return x, sr
+
+
+def _read_sphere(f, header12: bytes) -> Tuple[np.ndarray, int]:
+    """Parse a NIST SPHERE file (header already partially consumed).
+
+    Supports uncompressed PCM payloads (sample_coding 'pcm'); raises a clear
+    error for shorten-compressed files (WSJ0 distribution default), which
+    need an external sph2pipe conversion.
+    """
+    rest = f.read(1024 - len(header12))
+    head = (header12 + rest).decode("ascii", errors="replace")
+    lines = head.split("\n")
+    try:
+        header_bytes = int(lines[1].strip())
+    except (IndexError, ValueError):
+        raise ValueError("malformed SPHERE header")
+    fields = {}
+    for line in lines[2:]:
+        parts = line.split()
+        if len(parts) >= 3 and parts[1].startswith("-"):
+            fields[parts[0]] = parts[2]
+        if line.strip() == "end_head":
+            break
+    coding = fields.get("sample_coding", "pcm")
+    if "shorten" in coding or "embedded" in coding:
+        raise ValueError(
+            "shorten-compressed SPHERE file: convert with sph2pipe first")
+    sr = int(fields.get("sample_rate", 16000))
+    n_channels = int(fields.get("channel_count", 1))
+    n_samples = int(fields["sample_count"])
+    n_bytes = int(fields.get("sample_n_bytes", 2))
+    byte_format = fields.get("sample_byte_format", "01")
+    f.seek(header_bytes)
+    raw = f.read(n_samples * n_channels * n_bytes)
+    if n_bytes == 2:
+        dtype = "<i2" if byte_format == "01" else ">i2"
+        x = np.frombuffer(raw, dtype=dtype).astype(np.float32) / 32768.0
+    elif n_bytes == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported SPHERE sample width: {n_bytes}")
     if n_channels > 1:
         x = x.reshape(-1, n_channels)
     return x, sr
