@@ -76,11 +76,19 @@ class BatchLoader:
         if self.sharding is None:
             return tuple(jax.device_put(a) for a in arrays)
         sh = self.sharding
-        out = []
-        for a in arrays:
-            spec = sh if a.ndim > 0 else None
-            out.append(jax.device_put(a, spec))
-        return tuple(out)
+        if jax.process_count() > 1:
+            # Multi-host: each process contributes only its addressable rows
+            # of the global batch (v5e-pod style slices; SURVEY §2 "multi-host
+            # via DCN"). Rows are assigned contiguously by process index.
+            pc, pi = jax.process_count(), jax.process_index()
+            out = []
+            for a in arrays:
+                per = a.shape[0] // pc
+                local = a[pi * per: (pi + 1) * per]
+                out.append(
+                    jax.make_array_from_process_local_data(sh, local, a.shape))
+            return tuple(out)
+        return tuple(jax.device_put(a, sh) for a in arrays)
 
     def __iter__(self) -> Iterator:
         order = self._order()

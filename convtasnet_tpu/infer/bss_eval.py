@@ -77,20 +77,6 @@ def _project(refs: np.ndarray, est: np.ndarray, flen: int) -> np.ndarray:
     return proj
 
 
-def _decompose(
-    refs: np.ndarray, est: np.ndarray, j: int, flen: int
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """-> (s_target, e_interf, e_artif), each [T + flen - 1]."""
-    T = refs.shape[1]
-    s_target = _project(refs[j:j + 1], est, flen)
-    p_all = _project(refs, est, flen)
-    e_interf = p_all - s_target
-    e_artif = np.zeros(T + flen - 1)
-    e_artif[:T] = est
-    e_artif = e_artif - p_all
-    return s_target, e_interf, e_artif
-
-
 def _ratios(s_target, e_interf, e_artif) -> Tuple[float, float, float]:
     eps = np.finfo(np.float64).eps
 
@@ -118,13 +104,20 @@ def bss_eval_sources(
     ests = np.asarray(estimated_sources, np.float64)
     assert refs.shape == ests.shape
     C = refs.shape[0]
+    T = refs.shape[1]
     sdr = np.zeros((C, C))
     sir = np.zeros((C, C))
     sar = np.zeros((C, C))
     for i in range(C):  # estimate i
+        # the all-sources projection is independent of j: compute once
+        p_all = _project(refs, ests[i], FLEN)
+        e_artif = np.zeros(T + FLEN - 1)
+        e_artif[:T] = ests[i]
+        e_artif = e_artif - p_all
         for j in range(C):  # reference j
-            parts = _decompose(refs, ests[i], j, FLEN)
-            sdr[i, j], sir[i, j], sar[i, j] = _ratios(*parts)
+            s_target = _project(refs[j:j + 1], ests[i], FLEN)
+            e_interf = p_all - s_target
+            sdr[i, j], sir[i, j], sar[i, j] = _ratios(s_target, e_interf, e_artif)
     if not compute_permutation:
         d = np.arange(C)
         return sdr[d, d], sir[d, d], sar[d, d], d

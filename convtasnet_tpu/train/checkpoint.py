@@ -30,6 +30,9 @@ from convtasnet_tpu.config import ConvTasNetConfig
 MAGIC = b"CTTPU1\x00\x00"
 
 
+_async_pool = None
+
+
 def save_checkpoint(
     path: str,
     state,
@@ -38,8 +41,16 @@ def save_checkpoint(
     tr_loss=None,
     cv_loss=None,
     extra: Optional[Dict[str, Any]] = None,
+    async_save: bool = False,
 ) -> None:
-    """Write a self-describing checkpoint package atomically."""
+    """Write a self-describing checkpoint package atomically.
+
+    ``async_save=True`` fetches device arrays synchronously (cheap — the
+    accelerator keeps running) but serializes + writes in a background
+    thread, so the train loop never blocks on disk. Atomic tmp+rename makes
+    an overlapping save never corrupt the previous file; call
+    ``wait_for_saves()`` before relying on the file.
+    """
     meta = {
         "format_version": 1,
         "model": model_cfg.to_dict(),
@@ -50,16 +61,36 @@ def save_checkpoint(
     }
     state_dict = serialization.to_state_dict(state)
     state_dict = jax.tree_util.tree_map(np.asarray, state_dict)
-    payload = serialization.msgpack_serialize(state_dict)
-    meta_bytes = json.dumps(meta).encode("utf-8")
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(MAGIC)
-        f.write(struct.pack("<Q", len(meta_bytes)))
-        f.write(meta_bytes)
-        f.write(payload)
-    os.replace(tmp, path)
+
+    def _write():
+        payload = serialization.msgpack_serialize(state_dict)
+        meta_bytes = json.dumps(meta).encode("utf-8")
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(MAGIC)
+            f.write(struct.pack("<Q", len(meta_bytes)))
+            f.write(meta_bytes)
+            f.write(payload)
+        os.replace(tmp, path)
+
+    if not async_save:
+        _write()
+        return
+    global _async_pool
+    if _async_pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _async_pool = ThreadPoolExecutor(max_workers=1)
+    _async_pool.submit(_write)
+
+
+def wait_for_saves() -> None:
+    """Block until all async checkpoint writes have landed."""
+    global _async_pool
+    if _async_pool is not None:
+        _async_pool.shutdown(wait=True)
+        _async_pool = None
 
 
 def load_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:

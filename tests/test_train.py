@@ -160,3 +160,14 @@ def test_end_to_end_tiny_training(tmp_path):
     assert solver2.start_epoch > 0
     result2 = solver2.train()
     assert len(result2["tr_loss"]) <= 4
+
+
+def test_async_checkpoint(tmp_path):
+    from convtasnet_tpu.train.checkpoint import wait_for_saves
+
+    state, tx = create_train_state(TINY, SOLVER, jax.random.PRNGKey(0), 1600)
+    path = str(tmp_path / "async.ckpt")
+    save_checkpoint(path, state, TINY, epoch=1, async_save=True)
+    wait_for_saves()
+    cfg = model_config_from_checkpoint(path)
+    assert cfg == TINY
