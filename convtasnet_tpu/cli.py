@@ -191,7 +191,9 @@ def cmd_separate(a) -> int:
 
     n = separate(a.model_path, a.out_dir, mix_dir=a.mix_dir,
                  mix_json=a.mix_json, batch_size=a.batch_size,
-                 sample_rate=a.sample_rate)
+                 sample_rate=a.sample_rate,
+                 streaming=bool(getattr(a, "streaming", 0)),
+                 chunk_seconds=getattr(a, "chunk_seconds", 0.5))
     print(f"separated {n} utterances into {a.out_dir}")
     return 0
 
@@ -284,6 +286,9 @@ def main(argv=None) -> int:
     p.add_argument("--mix-json", default=None)
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--sample-rate", type=int, default=8000)
+    p.add_argument("--streaming", type=int, default=0,
+                   help="chunk-by-chunk causal streaming runtime")
+    p.add_argument("--chunk-seconds", type=float, default=0.5)
     p.set_defaults(fn=cmd_separate)
 
     p = sub.add_parser("import-torch", help="convert a reference checkpoint")

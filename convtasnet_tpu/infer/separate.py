@@ -36,9 +36,20 @@ def separate(
     sample_rate: int = 8000,
     pad_to_multiple: int = 8000,
     write_mix: bool = True,
+    streaming: bool = False,
+    chunk_seconds: float = 0.5,
 ) -> int:
-    """Separate every mixture; returns the number of utterances written."""
+    """Separate every mixture; returns the number of utterances written.
+
+    ``streaming=True`` runs the stateful chunk-by-chunk separator instead of
+    the batch forward — requires a causal (cLN/BN) checkpoint; this is the
+    low-latency deployment path (``models/streaming.py``), exercised here
+    offline for functional parity.
+    """
     cfg, variables = load_params_for_inference(model_path)
+    if streaming:
+        return _separate_streaming(cfg, variables, out_dir, mix_dir, mix_json,
+                                   sample_rate, chunk_seconds, write_mix)
     model = ConvTasNet(cfg)
     ds = EvalDataset(mix_dir=mix_dir, mix_json=mix_json,
                      batch_size=batch_size, sample_rate=sample_rate)
@@ -63,4 +74,39 @@ def separate(
                 write_wav(os.path.join(out_dir, f"{stem}_s{c + 1}.wav"),
                           est_list[b][c], sample_rate)
             n_written += 1
+    return n_written
+
+
+def _separate_streaming(cfg, variables, out_dir, mix_dir, mix_json,
+                        sample_rate, chunk_seconds, write_mix) -> int:
+    """Chunk-by-chunk separation with the streaming runtime."""
+    from convtasnet_tpu.models.streaming import StreamingSeparator
+
+    ds = EvalDataset(mix_dir=mix_dir, mix_json=mix_json, batch_size=1,
+                     sample_rate=sample_rate)
+    os.makedirs(out_dir, exist_ok=True)
+    hop = cfg.stride
+    chunk = max(hop, int(chunk_seconds * sample_rate) // hop * hop)
+    n_written = 0
+    for bi in range(len(ds)):
+        mixture, lengths, names = ds.load_batch(bi)
+        T = int(lengths[0])
+        # pad to whole chunks
+        Tp = ((T + chunk - 1) // chunk) * chunk
+        x = np.zeros((1, Tp), np.float32)
+        x[0, :T] = mixture[0, :T]
+        sep = StreamingSeparator(cfg, variables, batch_size=1)
+        outs = []
+        for s in range(0, Tp, chunk):
+            outs.append(np.asarray(sep.process(jnp.asarray(x[:, s:s + chunk]))))
+        outs.append(np.asarray(sep.flush()))
+        est = np.concatenate(outs, axis=-1)[0, :, :T]
+        stem = os.path.splitext(os.path.basename(names[0]))[0]
+        if write_mix:
+            write_wav(os.path.join(out_dir, stem + ".wav"),
+                      mixture[0, :T], sample_rate)
+        for c in range(cfg.num_speakers):
+            write_wav(os.path.join(out_dir, f"{stem}_s{c + 1}.wav"),
+                      est[c], sample_rate)
+        n_written += 1
     return n_written

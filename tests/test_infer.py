@@ -117,3 +117,49 @@ def test_separate_end_to_end(trained_model):
     assert len(stems) == 4  # 2 utts x 2 speakers
     x, sr = read_wav(os.path.join(out_dir, stems[0]))
     assert sr == 8000 and x.shape[0] == 16000
+
+
+def test_separate_streaming_end_to_end(tmp_path):
+    """Streaming separation through the public API on a causal model."""
+    import jax
+    from convtasnet_tpu.config import ConvTasNetConfig
+    from convtasnet_tpu.models.conv_tasnet import init_params
+    from convtasnet_tpu.train.checkpoint import save_checkpoint
+    from convtasnet_tpu.infer.separate import separate
+    from convtasnet_tpu.data.audio_io import read_wav, write_wav
+
+    cfg = ConvTasNetConfig(
+        n_filters=16, kernel_size=8, bottleneck=12, hidden=24, conv_kernel=3,
+        num_blocks=2, num_repeats=1, num_speakers=2, norm_type="cLN",
+        causal=True)
+    variables = init_params(cfg, jax.random.PRNGKey(0), example_len=8000)
+    state = {"params": variables["params"], "batch_stats": {}}
+    ckpt = str(tmp_path / "causal.ckpt")
+    save_checkpoint(ckpt, state, cfg, epoch=0)
+
+    mix_dir = tmp_path / "mix"
+    os.makedirs(mix_dir)
+    rng = np.random.default_rng(0)
+    write_wav(str(mix_dir / "utt.wav"),
+              0.3 * rng.standard_normal(9000).astype(np.float32), 8000)
+    out_dir = str(tmp_path / "out")
+    n = separate(ckpt, out_dir, mix_dir=str(mix_dir), streaming=True,
+                 chunk_seconds=0.25)
+    assert n == 1
+    y, sr = read_wav(os.path.join(out_dir, "utt_s1.wav"))
+    assert sr == 8000 and y.shape[0] == 9000
+
+
+def test_loader_propagates_worker_errors(tmp_path):
+    from convtasnet_tpu.data.loader import BatchLoader
+
+    class BoomDataset:
+        def __len__(self):
+            return 2
+
+        def load_batch(self, i, pad_to_multiple=1):
+            raise RuntimeError("decode failure")
+
+    loader = BatchLoader(BoomDataset())
+    with pytest.raises(RuntimeError, match="decode failure"):
+        list(loader)
