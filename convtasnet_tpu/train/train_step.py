@@ -154,6 +154,96 @@ def make_train_step(
     return jax.jit(step_fn, **kwargs)
 
 
+def make_sharded_train_step(
+    model_cfg: ConvTasNetConfig,
+    tx: optax.GradientTransformation,
+    state: TrainState,
+    mesh,
+    donate: bool = True,
+):
+    """Train step over a 2-D (data, model) mesh: batch sharded over ``data``,
+    TCN hidden-dim parameters (and their Adam moments) sharded over ``model``
+    per ``parallel/tensor_parallel.param_partition_specs``. XLA/GSPMD
+    partitions the whole forward+backward and inserts the collectives
+    (all-reduce over ``data`` for gradients; the per-block partial-sum
+    reduce over ``model``) — no hand-written comms.
+
+    Returns (step_fn, shard_state) where ``shard_state`` places an existing
+    state onto the mesh with these shardings.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from convtasnet_tpu.parallel.tensor_parallel import param_partition_specs
+
+    specs = param_partition_specs(
+        model_cfg, {"params": state.params, "batch_stats": state.batch_stats}
+    )["params"]
+
+    def to_sharding(spec_tree, value_tree):
+        return jax.tree_util.tree_map(
+            lambda _, s: NamedSharding(mesh, s), value_tree, spec_tree,
+            is_leaf=lambda v: not isinstance(v, dict))
+
+    repl = NamedSharding(mesh, P())
+    params_sh = to_sharding(specs, state.params)
+
+    # opt_state: params-shaped subtrees (adam mu/nu) get the param
+    # shardings; everything else is replicated.
+    flat_params = jax.tree_util.tree_structure(state.params)
+
+    def opt_sharding(opt_state):
+        def walk(node):
+            try:
+                if jax.tree_util.tree_structure(node) == flat_params:
+                    return params_sh
+            except Exception:
+                pass
+            if isinstance(node, (list, tuple)):
+                mapped = [walk(c) for c in node]
+                return type(node)(*mapped) if hasattr(node, "_fields") else type(node)(mapped)
+            if isinstance(node, dict):
+                return {k: walk(v) for k, v in node.items()}
+            return repl
+
+        return walk(opt_state)
+
+    state_sh = TrainState(
+        step=repl,
+        params=params_sh,
+        opt_state=opt_sharding(state.opt_state),
+        batch_stats=jax.tree_util.tree_map(lambda _: repl, state.batch_stats)
+        if state.batch_stats else repl,
+    )
+    data = NamedSharding(mesh, P("data"))
+    model = ConvTasNet(model_cfg)
+
+    def step_fn(st: TrainState, batch):
+        def loss_fn(params):
+            return _weighted_loss(model, params, st.batch_stats, batch, True)
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            st.params)
+        updates, new_opt_state = tx.update(grads, st.opt_state, st.params)
+        new_params = optax.apply_updates(st.params, updates)
+        new_state = st.replace(
+            step=st.step + 1, params=new_params, opt_state=new_opt_state,
+            batch_stats=new_stats)
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    kwargs: Dict[str, Any] = {
+        "in_shardings": (state_sh, (data, data, data, data)),
+        "out_shardings": (state_sh, repl),
+    }
+    if donate:
+        kwargs["donate_argnums"] = (0,)
+    step = jax.jit(step_fn, **kwargs)
+
+    def shard_state(st: TrainState) -> TrainState:
+        return jax.device_put(st, state_sh)
+
+    return step, shard_state
+
+
 def make_eval_step(model_cfg: ConvTasNetConfig, mesh=None):
     """Jitted validation step ``(state, batch) -> loss`` (no grad, running
     BN statistics; parity: ``src/solver.py:107`` cv pass)."""

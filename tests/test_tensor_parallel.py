@@ -62,3 +62,46 @@ def test_tp_softmax_three_speakers():
     got = np.asarray(tp_forward(cfg, variables, mix, mesh))
     want = np.asarray(ConvTasNet(cfg).apply(variables, mix, train=False))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_train_step_matches_dp():
+    """2-D (data x model) GSPMD training step == plain single-device step."""
+    from convtasnet_tpu.config import SolverConfig
+    from convtasnet_tpu.train.train_step import (
+        create_train_state, make_sharded_train_step, make_train_step)
+
+    cfg = ConvTasNetConfig(**TINY)
+    solver_cfg = SolverConfig(lr=1e-3)
+    rng = np.random.default_rng(0)
+    B, T = 4, 1600
+    batch_np = (
+        rng.standard_normal((B, T)).astype(np.float32),
+        np.full((B,), T, np.int32),
+        rng.standard_normal((B, 2, T)).astype(np.float32),
+        np.ones((B,), np.float32),
+    )
+
+    state1, tx1 = create_train_state(cfg, solver_cfg, jax.random.PRNGKey(0), T)
+    step1 = make_train_step(cfg, tx1, donate=False)
+    s1 = state1
+    for _ in range(3):
+        s1, m1 = step1(s1, jax.tree_util.tree_map(jnp.asarray, batch_np))
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    state2, tx2 = create_train_state(cfg, solver_cfg, jax.random.PRNGKey(0), T)
+    step2, shard_state = make_sharded_train_step(cfg, tx2, state2, mesh,
+                                                 donate=False)
+    s2 = shard_state(state2)
+    batch2 = jax.tree_util.tree_map(jnp.asarray, batch_np)
+    for _ in range(3):
+        s2, m2 = step2(s2, batch2)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+    # the TP params really are sharded over the model axis
+    w_in = s2.params["separator"]["block_r0_x0"]["conv1x1"]
+    assert {sh.data.shape for sh in w_in.addressable_shards} == {(12, 8)}
