@@ -181,7 +181,8 @@ def cmd_evaluate(a) -> int:
     from convtasnet_tpu.infer.evaluate import evaluate
 
     res = evaluate(a.model_path, a.data_dir, batch_size=a.batch_size,
-                   sample_rate=a.sample_rate, cal_sdr=bool(a.cal_sdr))
+                   sample_rate=a.sample_rate, cal_sdr=bool(a.cal_sdr),
+                   max_batches=getattr(a, "max_batches", None))
     print(json.dumps(res))
     return 0
 
@@ -277,6 +278,7 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--sample-rate", type=int, default=8000)
     p.add_argument("--cal-sdr", type=int, default=0)
+    p.add_argument("--max-batches", type=int, default=None)
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("separate", help="write separated wavs (stage 4)")

@@ -119,3 +119,16 @@ def test_16khz_config(tmp_path):
     variables = init_params(cfg, jax.random.PRNGKey(0), example_len=16000)
     out = ConvTasNet(cfg).apply(variables, b.mixture)
     assert out.shape == (2, 2, 16000)
+
+
+def test_profiler_context(tmp_path):
+    from convtasnet_tpu.utils.metrics import StepTimer, profile
+    import jax.numpy as jnp
+
+    with profile(str(tmp_path / "trace"), enabled=True):
+        _ = jnp.sum(jnp.ones((8, 8))).block_until_ready()
+    assert os.path.isdir(tmp_path / "trace")
+    t = StepTimer(warmup=1)
+    for _ in range(4):
+        t.tick()
+    assert t.mean >= 0
