@@ -79,7 +79,6 @@ class DataConfig:
     max_hours: Optional[float] = None
     shuffle: bool = True
     num_workers: int = 4
-    drop_remainder_to_batch: bool = True  # pad partial batches up to batch_size
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
