@@ -161,3 +161,17 @@ def test_eval_dataset(tmp_path):
     assert mix.shape[0] == 2
     assert lengths[0] >= lengths[1]  # length-sorted desc
     assert all(n.endswith(".wav") for n in names)
+
+
+def test_loader_stress_deterministic_contents(tmp_path):
+    """Concurrency stress: many small batches through the threaded loader;
+    contents must match direct dataset reads exactly, every epoch."""
+    ds = _dataset(tmp_path, [8000] * 12, batch_size=2, segment=0.5)
+    loader = BatchLoader(ds, shuffle=True, seed=7, num_workers=4, prefetch=3)
+    loader.set_epoch(0)
+    order = loader._order()
+    got = [np.asarray(b[0]) for b in loader]
+    want = [ds.load_batch(int(i)).mixture for i in order]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
