@@ -190,3 +190,35 @@ class StreamingSeparator:
     def latency_samples(self) -> int:
         """Algorithmic latency: one encoder window."""
         return self.cfg.kernel_size
+
+
+def stream_scan(
+    cfg: ConvTasNetConfig,
+    variables: Dict[str, Any],
+    chunks: jax.Array,
+    state: Dict[str, Any] = None,
+) -> Tuple[Dict[str, Any], jax.Array]:
+    """Process many chunks in one compiled call via ``lax.scan``.
+
+    Args:
+        chunks: [n_chunks, M, chunk_len] (chunk_len a multiple of hop).
+        state: optional initial state (defaults to zeros).
+
+    Returns:
+        (final_state, outputs [n_chunks, M, C, chunk_len]).
+
+    Identical math to calling ``stream_step`` per chunk, but the whole
+    sequence runs as one device program — the bulk/offline streaming path
+    (per-chunk dispatch latency removed; the carried state never leaves the
+    chip).
+    """
+    _assert_streamable(cfg)
+    n, M, chunk_len = chunks.shape
+    if state is None:
+        state = init_stream_state(cfg, M, dtype=chunks.dtype)
+
+    def body(st, chunk):
+        st, out = stream_step(cfg, variables, st, chunk)
+        return st, out
+
+    return jax.lax.scan(body, state, chunks)

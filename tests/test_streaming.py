@@ -100,3 +100,27 @@ def test_streaming_bn_uses_running_stats():
                          axis=-1)
     want = _batch_reference(cfg, variables, x)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_stream_scan_matches_stepwise():
+    from convtasnet_tpu.models.streaming import stream_scan
+
+    cfg = CAUSAL
+    variables = init_params(cfg, jax.random.PRNGKey(0), example_len=1600)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 1600))
+    chunk = 160
+    chunks = jnp.stack([x[:, i:i + chunk] for i in range(0, 1600, chunk)])
+
+    state = init_stream_state(cfg, 2)
+    outs = []
+    for i in range(chunks.shape[0]):
+        state, o = stream_step(cfg, variables, state, chunks[i])
+        outs.append(np.asarray(o))
+    want = np.stack(outs)
+    want_tail = np.asarray(stream_flush(cfg, state))
+
+    final, got = jax.jit(
+        lambda c: stream_scan(cfg, variables, c))(chunks)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(stream_flush(cfg, final)),
+                               want_tail, rtol=1e-4, atol=1e-5)
