@@ -157,3 +157,80 @@ def import_to_checkpoint(torch_path: str, out_path: str) -> ConvTasNetConfig:
     save_checkpoint(out_path, state, cfg, epoch=0,
                     extra={"imported_from": torch_path})
     return cfg
+
+
+def export_state_dict(variables: Dict[str, Any], cfg: ConvTasNetConfig):
+    """Flax variables -> reference-layout torch ``state_dict`` (the inverse
+    of ``convert_state_dict``), so models trained here can be loaded by
+    reference-compatible PyTorch tooling."""
+    import torch
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {}).get("separator", {})
+
+    def t(a):
+        return torch.from_numpy(np.ascontiguousarray(np.asarray(a, np.float32)))
+
+    sd = {
+        "encoder.conv1d_U.weight": t(params["encoder"]["w"].T[:, None, :]),
+        "decoder.basis_signals.weight": t(params["decoder"]["w"].T),
+    }
+    sep = params["separator"]
+    sd["separator.network.0.gamma"] = t(
+        sep["input_norm"]["gamma"].reshape(1, -1, 1))
+    sd["separator.network.0.beta"] = t(
+        sep["input_norm"]["beta"].reshape(1, -1, 1))
+    sd["separator.network.1.weight"] = t(sep["bottleneck"].T[:, :, None])
+    sd["separator.network.3.weight"] = t(sep["mask_conv"].T[:, :, None])
+
+    def norm_entries(prefix, prm, st):
+        if cfg.norm_type in ("gLN", "cLN"):
+            sd[prefix + ".gamma"] = t(prm["gamma"].reshape(1, -1, 1))
+            sd[prefix + ".beta"] = t(prm["beta"].reshape(1, -1, 1))
+        else:
+            sd[prefix + ".weight"] = t(prm["gamma"])
+            sd[prefix + ".bias"] = t(prm["beta"])
+            sd[prefix + ".running_mean"] = t(st["mean"])
+            sd[prefix + ".running_var"] = t(st["var"])
+            sd[prefix + ".num_batches_tracked"] = torch.tensor(0)
+
+    k = 3 if cfg.causal else 2
+    for r in range(cfg.num_repeats):
+        for x in range(cfg.num_blocks):
+            name = f"block_r{r}_x{x}"
+            blk = sep[name]
+            st = stats.get(name, {})
+            tpre = f"separator.network.2.{r}.{x}.net"
+            sd[f"{tpre}.0.weight"] = t(blk["conv1x1"].T[:, :, None])
+            sd[f"{tpre}.1.weight"] = t(np.reshape(blk["prelu1"], (1,)))
+            norm_entries(f"{tpre}.2", blk["norm1"], st.get("norm1"))
+            sd[f"{tpre}.3.net.0.weight"] = t(blk["dwconv"].T[:, None, :])
+            sd[f"{tpre}.3.net.{k - 1}.weight"] = t(
+                np.reshape(blk["prelu2"], (1,)))
+            norm_entries(f"{tpre}.3.net.{k}", blk["norm2"], st.get("norm2"))
+            sd[f"{tpre}.3.net.{k + 1}.weight"] = t(blk["pwconv"].T[:, :, None])
+    return sd
+
+
+def export_to_torch(ckpt_path: str, out_path: str) -> None:
+    """Native checkpoint -> reference-style ``torch.save`` package
+    (hyperparam keys per ``ConvTasNet.serialize``, ``src/conv_tasnet.py:80-85``)."""
+    import torch
+
+    from convtasnet_tpu.train.checkpoint import load_checkpoint
+
+    state_dict, meta = load_checkpoint(ckpt_path)
+    cfg = ConvTasNetConfig.from_dict(meta["model"])
+    variables = {"params": state_dict["params"]}
+    if state_dict.get("batch_stats"):
+        variables["batch_stats"] = state_dict["batch_stats"]
+    package = {
+        "N": cfg.n_filters, "L": cfg.kernel_size, "B": cfg.bottleneck,
+        "H": cfg.hidden, "P": cfg.conv_kernel, "X": cfg.num_blocks,
+        "R": cfg.num_repeats, "C": cfg.num_speakers,
+        "norm_type": cfg.norm_type, "causal": cfg.causal,
+        "mask_nonlinear": cfg.mask_nonlinear,
+        "state_dict": export_state_dict(variables, cfg),
+        "optim_dict": {}, "epoch": meta.get("epoch", 0),
+    }
+    torch.save(package, out_path)

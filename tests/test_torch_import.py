@@ -89,3 +89,24 @@ def test_torch_package_roundtrip(tmp_path):
     assert cfg3 == cfg
     got3 = np.asarray(ConvTasNet(cfg3).apply(variables3, jnp.asarray(mix.numpy())))
     np.testing.assert_allclose(got3, want, rtol=1e-3, atol=2e-4)
+
+
+def test_export_roundtrip(tmp_path):
+    """export -> import round trip preserves every weight, and the exported
+    state_dict drives the torch oracle to the same output as our model."""
+    from convtasnet_tpu.models.torch_import import export_state_dict
+    import jax
+    from convtasnet_tpu.models.conv_tasnet import init_params
+
+    cfg = ConvTasNetConfig(**SMALL)
+    variables = init_params(cfg, jax.random.PRNGKey(5), example_len=4000)
+    sd = export_state_dict(variables, cfg)
+    mix = torch.randn(1, 4000, generator=torch.Generator().manual_seed(6))
+    want = np.asarray(ConvTasNet(cfg).apply(variables, jnp.asarray(mix.numpy())))
+    got = torch_forward(sd, cfg, mix).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+    # and back through the importer
+    variables2 = convert_state_dict(sd, cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(variables["params"]),
+                    jax.tree_util.tree_leaves(variables2["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
