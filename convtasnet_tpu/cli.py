@@ -199,6 +199,14 @@ def cmd_separate(a) -> int:
     return 0
 
 
+def cmd_export_torch(a) -> int:
+    from convtasnet_tpu.models.torch_import import export_to_torch
+
+    export_to_torch(a.ckpt_path, a.out_path)
+    print(f"exported {a.ckpt_path} -> {a.out_path}")
+    return 0
+
+
 def cmd_import_torch(a) -> int:
     from convtasnet_tpu.models.torch_import import import_to_checkpoint
 
@@ -297,6 +305,12 @@ def main(argv=None) -> int:
     p.add_argument("--torch-path", required=True)
     p.add_argument("--out-path", required=True)
     p.set_defaults(fn=cmd_import_torch)
+
+    p = sub.add_parser("export-torch",
+                       help="convert a native checkpoint to a reference-style torch package")
+    p.add_argument("--ckpt-path", required=True)
+    p.add_argument("--out-path", required=True)
+    p.set_defaults(fn=cmd_export_torch)
 
     p = sub.add_parser("recipe", help="staged pipeline (stages 1-4)")
     p.add_argument("--data-dir", required=True, help="wav tree root")
