@@ -194,7 +194,8 @@ def cmd_separate(a) -> int:
                  mix_json=a.mix_json, batch_size=a.batch_size,
                  sample_rate=a.sample_rate,
                  streaming=bool(getattr(a, "streaming", 0)),
-                 chunk_seconds=getattr(a, "chunk_seconds", 0.5))
+                 chunk_seconds=getattr(a, "chunk_seconds", 0.5),
+                 sequence_parallel=bool(getattr(a, "sequence_parallel", 0)))
     print(f"separated {n} utterances into {a.out_dir}")
     return 0
 
@@ -299,6 +300,8 @@ def main(argv=None) -> int:
     p.add_argument("--streaming", type=int, default=0,
                    help="chunk-by-chunk causal streaming runtime")
     p.add_argument("--chunk-seconds", type=float, default=0.5)
+    p.add_argument("--sequence-parallel", type=int, default=0,
+                   help="shard each mixture's time axis over all devices")
     p.set_defaults(fn=cmd_separate)
 
     p = sub.add_parser("import-torch", help="convert a reference checkpoint")

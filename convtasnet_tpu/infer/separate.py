@@ -38,6 +38,7 @@ def separate(
     write_mix: bool = True,
     streaming: bool = False,
     chunk_seconds: float = 0.5,
+    sequence_parallel: bool = False,
 ) -> int:
     """Separate every mixture; returns the number of utterances written.
 
@@ -50,6 +51,9 @@ def separate(
     if streaming:
         return _separate_streaming(cfg, variables, out_dir, mix_dir, mix_json,
                                    sample_rate, chunk_seconds, write_mix)
+    if sequence_parallel:
+        return _separate_sequence_parallel(cfg, variables, out_dir, mix_dir,
+                                           mix_json, sample_rate, write_mix)
     model = ConvTasNet(cfg)
     ds = EvalDataset(mix_dir=mix_dir, mix_json=mix_json,
                      batch_size=batch_size, sample_rate=sample_rate)
@@ -101,6 +105,37 @@ def _separate_streaming(cfg, variables, out_dir, mix_dir, mix_json,
             outs.append(np.asarray(sep.process(jnp.asarray(x[:, s:s + chunk]))))
         outs.append(np.asarray(sep.flush()))
         est = np.concatenate(outs, axis=-1)[0, :, :T]
+        stem = os.path.splitext(os.path.basename(names[0]))[0]
+        if write_mix:
+            write_wav(os.path.join(out_dir, stem + ".wav"),
+                      mixture[0, :T], sample_rate)
+        for c in range(cfg.num_speakers):
+            write_wav(os.path.join(out_dir, f"{stem}_s{c + 1}.wav"),
+                      est[c], sample_rate)
+        n_written += 1
+    return n_written
+
+
+def _separate_sequence_parallel(cfg, variables, out_dir, mix_dir, mix_json,
+                                sample_rate, write_mix) -> int:
+    """Arbitrarily-long mixtures: shard the time axis over all devices
+    (``parallel/sharded_ops.py``) — memory per chip is T / n_devices, halo
+    communication is O(1) in length."""
+    import jax
+
+    from convtasnet_tpu.parallel.mesh import make_mesh
+    from convtasnet_tpu.parallel.sharded_ops import separate_sharded
+
+    mesh = make_mesh(n_data=-1)
+    ds = EvalDataset(mix_dir=mix_dir, mix_json=mix_json, batch_size=1,
+                     sample_rate=sample_rate)
+    os.makedirs(out_dir, exist_ok=True)
+    n_written = 0
+    for bi in range(len(ds)):
+        mixture, lengths, names = ds.load_batch(bi)
+        T = int(lengths[0])
+        est = np.asarray(jax.device_get(
+            separate_sharded(cfg, variables, jnp.asarray(mixture[0, :T]), mesh)))
         stem = os.path.splitext(os.path.basename(names[0]))[0]
         if write_mix:
             write_wav(os.path.join(out_dir, stem + ".wav"),

@@ -64,3 +64,27 @@ def test_sharded_softmax_three_speakers():
     want = _reference(cfg, variables, mixture, T)[:, :T]
     assert got.shape == (3, T)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_separate_sequence_parallel_cli(tmp_path):
+    """Sequence-parallel separation through the public separate() API."""
+    import os
+    from convtasnet_tpu.data.audio_io import read_wav, write_wav
+    from convtasnet_tpu.infer.separate import separate
+    from convtasnet_tpu.train.checkpoint import save_checkpoint
+
+    cfg = ConvTasNetConfig(**TINY)
+    variables = init_params(cfg, jax.random.PRNGKey(0), example_len=8000)
+    ckpt = str(tmp_path / "m.ckpt")
+    save_checkpoint(ckpt, {"params": variables["params"], "batch_stats": {}},
+                    cfg, epoch=0)
+    mix_dir = tmp_path / "mix"
+    os.makedirs(mix_dir)
+    rng = np.random.default_rng(0)
+    write_wav(str(mix_dir / "long.wav"),
+              0.3 * rng.standard_normal(20000).astype(np.float32), 8000)
+    out = str(tmp_path / "out")
+    n = separate(ckpt, out, mix_dir=str(mix_dir), sequence_parallel=True)
+    assert n == 1
+    y, sr = read_wav(os.path.join(out, "long_s2.wav"))
+    assert y.shape[0] == 20000
