@@ -92,6 +92,7 @@ def _separate_streaming(cfg, variables, out_dir, mix_dir, mix_json,
     hop = cfg.stride
     chunk = max(hop, int(chunk_seconds * sample_rate) // hop * hop)
     n_written = 0
+    sep = StreamingSeparator(cfg, variables, batch_size=1)
     for bi in range(len(ds)):
         mixture, lengths, names = ds.load_batch(bi)
         T = int(lengths[0])
@@ -99,7 +100,7 @@ def _separate_streaming(cfg, variables, out_dir, mix_dir, mix_json,
         Tp = ((T + chunk - 1) // chunk) * chunk
         x = np.zeros((1, Tp), np.float32)
         x[0, :T] = mixture[0, :T]
-        sep = StreamingSeparator(cfg, variables, batch_size=1)
+        sep.reset()
         outs = []
         for s in range(0, Tp, chunk):
             outs.append(np.asarray(sep.process(jnp.asarray(x[:, s:s + chunk]))))

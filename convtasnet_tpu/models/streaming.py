@@ -183,6 +183,11 @@ class StreamingSeparator:
         self.state, out = self._step(self.state, chunk)
         return out
 
+    def reset(self) -> None:
+        """Restart the stream (new utterance) without recompiling."""
+        self.state = init_stream_state(
+            self.cfg, self.state["sample_carry"].shape[0])
+
     def flush(self) -> jax.Array:
         return stream_flush(self.cfg, self.state)
 
