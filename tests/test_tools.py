@@ -105,3 +105,25 @@ def test_create_mixtures_end_to_end(tmp_path, mode):
     # scaling factors recorded
     z = np.load(os.path.join(out, "scaling.npz"))
     assert list(z["names"]) == names
+
+
+def test_create_mixtures_three_speakers(tmp_path):
+    src_dir = tmp_path / "src"
+    os.makedirs(src_dir)
+    rng = np.random.default_rng(3)
+    paths = []
+    for name in ("a", "b", "c"):
+        p = str(src_dir / f"{name}.wav")
+        write_wav(p, 0.2 * _speechlike(2.0, SR, active_frac=1.0,
+                                       seed=ord(name)), SR)
+        paths.append(p)
+    from convtasnet_tpu.tools.mixture import MixRow
+    rows = [MixRow(tuple(paths), (1.0, -1.0, 0.5))]
+    out = str(tmp_path / "out" / "tr")
+    names = create_mixtures(rows, out, SR, mode="min")
+    for part in ("s1", "s2", "s3", "mix"):
+        assert os.path.exists(os.path.join(out, part, names[0] + ".wav"))
+    mix, _ = read_wav(os.path.join(out, "mix", names[0] + ".wav"))
+    total = sum(read_wav(os.path.join(out, f"s{c+1}", names[0] + ".wav"))[0]
+                for c in range(3))
+    np.testing.assert_allclose(mix, total, atol=4.0 / 32768)
