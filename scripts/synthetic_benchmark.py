@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def synth_speaker(rng, cls: int, n: int, sr: int) -> np.ndarray:
     """Speech-like signal: harmonic stack with drifting f0 + AM + noise."""
-    f0_lo, f0_hi = [(90, 160), (180, 300)][cls]
+    f0_lo, f0_hi = [(90, 150), (180, 290), (330, 500)][cls]
     t = np.arange(n) / sr
     # piecewise-constant f0 contour (phoneme-ish 150 ms segments)
     seg = int(0.15 * sr)
@@ -48,7 +48,7 @@ def synth_speaker(rng, cls: int, n: int, sr: int) -> np.ndarray:
 
 
 def build_corpus(root: str, sr: int, n_tr: int, n_cv: int, n_tt: int,
-                 dur_s: float, seed: int = 0) -> None:
+                 dur_s: float, seed: int = 0, num_speakers: int = 2) -> None:
     from convtasnet_tpu.data.audio_io import write_wav
     from convtasnet_tpu.tools.mixture import MixRow, create_mixtures
 
@@ -61,12 +61,15 @@ def build_corpus(root: str, sr: int, n_tr: int, n_cv: int, n_tt: int,
         rows = []
         for i in range(count):
             paths = []
-            for cls in range(2):
+            for cls in range(num_speakers):
                 p = os.path.join(src_dir, f"{split}_{i:04d}_c{cls}.wav")
                 write_wav(p, synth_speaker(rng, cls, n, sr), sr)
                 paths.append(p)
             snr = rng.uniform(0.01, 2.5)
-            rows.append(MixRow(tuple(paths), (round(snr, 3), round(-snr, 3))))
+            snrs = [round(snr, 3), round(-snr, 3)]
+            while len(snrs) < num_speakers:
+                snrs.append(round(float(rng.uniform(-2.5, 2.5)), 3))
+            rows.append(MixRow(tuple(paths), tuple(snrs[:num_speakers])))
         create_mixtures(rows, os.path.join(root, split), sr, mode="min")
 
 
@@ -86,6 +89,8 @@ def main(argv=None) -> int:
     ap.add_argument("--X", type=int, default=6)
     ap.add_argument("--R", type=int, default=2)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--speakers", type=int, default=2)
+    ap.add_argument("--mask-nonlinear", default="relu")
     a = ap.parse_args(argv)
     sr = 8000
 
@@ -93,21 +98,23 @@ def main(argv=None) -> int:
     corpus = os.path.join(a.out, "data")
     if not os.path.exists(os.path.join(corpus, "tt", "mix")):
         print("building corpus...", flush=True)
-        build_corpus(corpus, sr, a.n_tr, a.n_cv, a.n_tt, a.dur)
+        build_corpus(corpus, sr, a.n_tr, a.n_cv, a.n_tt, a.dur,
+                     num_speakers=a.speakers)
     print(f"corpus ready ({time.time() - t0:.0f}s)", flush=True)
 
     from convtasnet_tpu.cli import main as cli_main
 
     jd = os.path.join(a.out, "json")
     cli_main(["preprocess", "--data-dir", corpus, "--out-dir", jd,
-              "--sample-rate", str(sr)])
+              "--sample-rate", str(sr), "--C", str(a.speakers)])
     exp = os.path.join(a.out, "exp")
     cli_main([
         "train", "--train-dir", os.path.join(jd, "tr"),
         "--valid-dir", os.path.join(jd, "cv"),
         "--save-folder", exp,
         "--N", str(a.N), "--H", str(a.H), "--B", str(a.B),
-        "--X", str(a.X), "--R", str(a.R),
+        "--X", str(a.X), "--R", str(a.R), "--C", str(a.speakers),
+        "--mask-nonlinear", a.mask_nonlinear,
         "--segment", str(a.segment), "--batch-size", str(a.batch_size),
         "--epochs", str(a.epochs), "--lr", str(a.lr),
         "--print-freq", "5", "--compute-dtype", "bfloat16",
