@@ -83,6 +83,8 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
     g.add_argument("--continue-from", default="")
     g.add_argument("--print-freq", type=int, default=10)
     g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--steps-per-call", type=int, default=1,
+                   help="optimizer steps per device dispatch (lax.scan)")
     g.add_argument("--n-data", type=int, default=-1,
                    help="devices on the data-parallel mesh axis (-1 = all)")
 
@@ -109,7 +111,8 @@ def _cfg_from_args(a: argparse.Namespace) -> TrainConfig:
             save_folder=a.save_folder,
             enable_checkpoint=bool(a.enable_checkpoint),
             model_path=a.model_path, continue_from=a.continue_from,
-            print_freq=a.print_freq, seed=a.seed),
+            print_freq=a.print_freq, seed=a.seed,
+            steps_per_call=getattr(a, "steps_per_call", 1)),
         mesh=MeshConfig(data_axis=a.n_data),
     )
 

@@ -108,6 +108,7 @@ class SolverConfig:
     continue_from: str = ""
     print_freq: int = 10
     seed: int = 0
+    steps_per_call: int = 1   # optimizer steps per device dispatch (lax.scan)
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)

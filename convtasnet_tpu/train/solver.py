@@ -37,6 +37,7 @@ from convtasnet_tpu.train.train_step import (
     create_train_state,
     get_lr,
     make_eval_step,
+    make_multi_train_step,
     make_train_step,
     set_lr,
 )
@@ -66,6 +67,10 @@ class Solver:
         self.state, self.tx = create_train_state(cfg.model, s, rng, example_len)
         self.train_step = make_train_step(cfg.model, self.tx, mesh=mesh)
         self.eval_step = make_eval_step(cfg.model, mesh=mesh)
+        self.steps_per_call = max(1, s.steps_per_call)
+        self.multi_step = (
+            make_multi_train_step(cfg.model, self.tx, mesh=mesh)
+            if self.steps_per_call > 1 else None)
 
         # LR / early-stop state machine (src/solver.py:73-76)
         self.start_epoch = 0
@@ -123,19 +128,50 @@ class Solver:
         start = time.time()
         losses = []
         pending = []  # device scalars, fetched lazily
-        for i, batch in enumerate(self.tr_loader):
+        group = []    # batches buffered for one multi-step dispatch
+        i = 0
+
+        def flush_group():
+            nonlocal group
+            if not group:
+                return
+            if len(group) == 1:
+                self.state, metrics = self.train_step(self.state, group[0])
+                pending.append(metrics["loss"])
+            else:
+                import jax.numpy as jnp
+
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *group)
+                self.state, metrics = self.multi_step(self.state, stacked)
+                pending.extend(metrics["loss"][k] for k in range(len(group)))
+            group = []
+
+        for batch in self.tr_loader:
             if self._interrupted:
                 break
-            self.state, metrics = self.train_step(self.state, batch)
-            pending.append(metrics["loss"])
-            if (i + 1) % self.cfg.solver.print_freq == 0:
+            if self.steps_per_call > 1:
+                group.append(batch)
+                if len(group) == self.steps_per_call:
+                    flush_group()
+            else:
+                self.state, metrics = self.train_step(self.state, batch)
+                pending.append(metrics["loss"])
+            i += 1
+            if i % self.cfg.solver.print_freq == 0 and pending:
                 losses.extend(float(x) for x in pending)
                 pending.clear()
                 avg = float(np.mean(losses))
-                ms = 1000 * (time.time() - start) / (i + 1)
+                ms = 1000 * (time.time() - start) / i
                 self.logger.log_iter(
-                    epoch, i, {"loss": losses[-1], "avg_loss": avg, "ms_per_batch": ms}
-                )
+                    epoch, i - 1,
+                    {"loss": losses[-1], "avg_loss": avg, "ms_per_batch": ms})
+        # tail: single-step the remainder (avoids a second scan compile)
+        tail = group
+        group = []
+        for batch in tail:
+            self.state, metrics = self.train_step(self.state, batch)
+            pending.append(metrics["loss"])
         losses.extend(float(x) for x in pending)
         return float(np.mean(losses)) if losses else float("nan")
 

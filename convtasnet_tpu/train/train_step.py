@@ -154,6 +154,53 @@ def make_train_step(
     return jax.jit(step_fn, **kwargs)
 
 
+def make_multi_train_step(
+    model_cfg: ConvTasNetConfig,
+    tx: optax.GradientTransformation,
+    mesh=None,
+    donate: bool = True,
+):
+    """Run several optimizer steps in ONE device dispatch via ``lax.scan``.
+
+    ``(state, batches) -> (state, metrics)`` where every array in ``batches``
+    has a leading ``[n_steps, ...]`` axis (the scan length) and
+    ``metrics['loss']`` is ``[n_steps]``. Amortizes host→device dispatch latency (no reference
+    equivalent — the reference pays a per-batch ``.cuda()`` + ``loss.item()``
+    sync every step, ``src/solver.py:184-198``); with a remote-attached
+    accelerator this is the difference between dispatch-bound and
+    compute-bound training.
+    """
+    model = ConvTasNet(model_cfg)
+
+    def multi_fn(state: TrainState, batches):
+        def body(st, batch):
+            def loss_fn(params):
+                return _weighted_loss(model, params, st.batch_stats, batch, True)
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(st.params)
+            updates, new_opt_state = tx.update(grads, st.opt_state, st.params)
+            new_params = optax.apply_updates(st.params, updates)
+            st = st.replace(
+                step=st.step + 1, params=new_params,
+                opt_state=new_opt_state, batch_stats=new_stats)
+            return st, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+        return jax.lax.scan(body, state, batches)
+
+    kwargs: Dict[str, Any] = {}
+    if donate:
+        kwargs["donate_argnums"] = (0,)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(None, "data"))  # [n_steps, B, ...]
+        kwargs["in_shardings"] = (repl, (data, data, data, data))
+        kwargs["out_shardings"] = (repl, repl)
+    return jax.jit(multi_fn, **kwargs)
+
+
 def make_sharded_train_step(
     model_cfg: ConvTasNetConfig,
     tx: optax.GradientTransformation,

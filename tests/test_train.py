@@ -4,6 +4,7 @@ and a tiny end-to-end train run (the analog of the reference's
 
 import os
 
+import jax
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -171,3 +172,52 @@ def test_async_checkpoint(tmp_path):
     wait_for_saves()
     cfg = model_config_from_checkpoint(path)
     assert cfg == TINY
+
+
+def test_multi_step_matches_sequential():
+    from convtasnet_tpu.train.train_step import make_multi_train_step
+
+    state1, tx1 = create_train_state(TINY, SOLVER, jax.random.PRNGKey(0), 1600)
+    state2, tx2 = create_train_state(TINY, SOLVER, jax.random.PRNGKey(0), 1600)
+    step = make_train_step(TINY, tx1, donate=False)
+    multi = make_multi_train_step(TINY, tx2, donate=False)
+    rng = np.random.default_rng(0)
+    batches = [_fake_batch(rng) for _ in range(4)]
+    for b in batches:
+        state1, m1 = step(state1, b)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+    state2, m2 = multi(state2, stacked)
+    assert m2["loss"].shape == (4,)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"][-1]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    assert int(state2.step) == 4
+
+
+def test_solver_steps_per_call(tmp_path):
+    """Solver with multi-step dispatch trains identically shaped results."""
+    from tests.test_solver import FakeLoader
+    from convtasnet_tpu.config import DataConfig, TrainConfig
+    from convtasnet_tpu.train.solver import Solver
+
+    def run(spc):
+        cfg = TrainConfig(
+            model=TINY, data=DataConfig(segment=0.1, batch_size=2),
+            solver=SolverConfig(epochs=2, lr=1e-3, print_freq=1000,
+                                save_folder=str(tmp_path / f"exp{spc}"),
+                                steps_per_call=spc))
+        s = Solver(cfg, FakeLoader(n_batches=5), FakeLoader(n_batches=1))
+        result = s.train()
+        return result, s.state
+
+    r1, s1 = run(1)
+    r2, s2 = run(2)  # 5 batches = 2 full groups + 1 tail single-step
+    np.testing.assert_allclose(r1["tr_loss"], r2["tr_loss"], rtol=1e-4)
+    assert int(s1.step) == int(s2.step) == 10
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
