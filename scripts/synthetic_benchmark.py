@@ -91,6 +91,7 @@ def main(argv=None) -> int:
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--speakers", type=int, default=2)
     ap.add_argument("--mask-nonlinear", default="relu")
+    ap.add_argument("--steps-per-call", type=int, default=1)
     a = ap.parse_args(argv)
     sr = 8000
 
@@ -118,6 +119,7 @@ def main(argv=None) -> int:
         "--segment", str(a.segment), "--batch-size", str(a.batch_size),
         "--epochs", str(a.epochs), "--lr", str(a.lr),
         "--print-freq", "5", "--compute-dtype", "bfloat16",
+        "--steps-per-call", str(a.steps_per_call),
     ])
     from convtasnet_tpu.infer.evaluate import evaluate
 
