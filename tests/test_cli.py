@@ -95,7 +95,6 @@ def test_16khz_config(tmp_path):
     from convtasnet_tpu.data.dataset import SeparationDataset
     from convtasnet_tpu.models.conv_tasnet import ConvTasNet, init_params
     from tests.test_data import _write_corpus
-    import tests.test_data as td
 
     root = str(tmp_path / "d")
     # reuse the corpus writer at 16k by generating at SR then re-labelling:

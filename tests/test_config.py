@@ -1,8 +1,6 @@
 """Config round-trips: dict/JSON serialization, checkpoint-metadata parity,
 exp-dir naming."""
 
-import dataclasses
-
 from convtasnet_tpu.config import (
     ConvTasNetConfig, DataConfig, MeshConfig, SolverConfig, TrainConfig,
     exp_name)

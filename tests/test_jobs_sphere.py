@@ -1,7 +1,6 @@
 """Array-job launcher (run.pl parity) and NIST SPHERE reader tests."""
 
 import os
-import struct
 
 import numpy as np
 import pytest

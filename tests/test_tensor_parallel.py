@@ -10,7 +10,6 @@ from convtasnet_tpu.config import ConvTasNetConfig
 from convtasnet_tpu.models.conv_tasnet import ConvTasNet, init_params
 from convtasnet_tpu.parallel.mesh import make_mesh
 from convtasnet_tpu.parallel.tensor_parallel import (
-    param_partition_specs,
     shard_variables,
     tp_forward,
 )
