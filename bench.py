@@ -80,6 +80,48 @@ def main(batch_size: int = 8, seconds: float = 4.0, trials: int = 5) -> None:
     }))
 
 
+def fallback(batch_size: int = 8, seconds: float = 4.0, trials: int = 8) -> None:
+    """Plain per-call timing (no scan chain) in case the chained compile is
+    unavailable; RTT-subtracted, slightly noisier but always runs."""
+    from convtasnet_tpu.config import ConvTasNetConfig
+    from convtasnet_tpu.models.conv_tasnet import ConvTasNet, init_params
+
+    T = int(seconds * 8000)
+    cfg = ConvTasNetConfig(compute_dtype="bfloat16")
+    model = ConvTasNet(cfg)
+    variables = init_params(cfg, jax.random.PRNGKey(0), example_len=T)
+    fwd = jax.jit(lambda p, m: jnp.sum(model.apply({"params": p}, m)))
+    rng = np.random.default_rng(0)
+    mixture = jnp.asarray(rng.standard_normal((batch_size, T)), jnp.float32)
+    triv = jax.jit(lambda m: jnp.sum(m))
+    jax.device_get(triv(mixture))
+    rtts = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        jax.device_get(triv(mixture))
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+    jax.device_get(fwd(variables["params"], mixture))
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        jax.device_get(fwd(variables["params"], mixture))
+        times.append(time.perf_counter() - t0)
+    dt = max(float(np.median(times)) - rtt, 1e-9)
+    rtf = batch_size * seconds / dt
+    print(json.dumps({
+        "metric": "separation throughput (audio-sec/sec/chip, paper config)",
+        "value": round(rtf, 1),
+        "unit": "x realtime",
+        "vs_baseline": round(rtf / 200.0, 2),
+    }))
+
+
 if __name__ == "__main__":
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    main(batch_size=bs)
+    try:
+        main(batch_size=bs)
+    except Exception as e:  # compile-service flakiness: degrade gracefully
+        print(f"chained bench failed ({type(e).__name__}); falling back",
+              file=sys.stderr)
+        fallback(batch_size=bs)
