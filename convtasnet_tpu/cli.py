@@ -51,7 +51,11 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     g.add_argument("--norm-type", default="gLN", choices=["gLN", "cLN", "BN"])
     g.add_argument("--causal", type=int, default=0)
     g.add_argument("--mask-nonlinear", default="relu", choices=["relu", "softmax"])
-    g.add_argument("--compute-dtype", default="bfloat16",
+    # Default follows ConvTasNetConfig so CLI- and library-trained models use
+    # identical precision (f32, like the reference). Pass bfloat16 to trade
+    # exact parity for TPU MXU throughput.
+    g.add_argument("--compute-dtype",
+                   default=ConvTasNetConfig.compute_dtype,
                    choices=["float32", "bfloat16"])
     g.add_argument("--use-pallas", type=int, default=0)
 
@@ -177,6 +181,9 @@ def cmd_train(a) -> int:
         f.write(cfg.to_json())
     result = Solver(cfg, tr, cv, mesh=mesh).train()
     print(f"best cv loss: {result['best_val_loss']:.3f}")
+    # Let callers (cmd_recipe) find the exp dir this run actually used
+    # instead of walking for the newest checkpoint afterwards.
+    a.resolved_save_folder = cfg.solver.save_folder
     return 0
 
 
@@ -227,6 +234,7 @@ def cmd_recipe(a) -> int:
         ns = argparse.Namespace(**vars(a))
         ns.out_dir = data_json
         cmd_preprocess(ns)
+    model = None
     if a.stage <= 2 <= a.stop_stage:
         ns = argparse.Namespace(**vars(a))
         ns.train_dir = os.path.join(data_json, "tr")
@@ -234,13 +242,19 @@ def cmd_recipe(a) -> int:
         ns.save_folder = exp_dir
         ns.auto_exp_name = True
         cmd_train(ns)
-    model = os.path.join(exp_dir, "final.ckpt")
-    if a.stage <= 2 <= a.stop_stage:
-        # train wrote into an auto-named subdir; find the newest final.ckpt
+        model = os.path.join(ns.resolved_save_folder, a.model_path)
+    if model is None and a.stop_stage >= 3 and a.stage >= 3:
+        # Standalone stage 3/4 on a previous run: find the newest checkpoint
+        # under the exp dir (training writes into auto-named subdirs).
         cands = []
         for root, _, files in os.walk(exp_dir):
             if a.model_path in files:
                 cands.append(os.path.join(root, a.model_path))
+        if not cands:
+            print(f"error: no {a.model_path} found under {exp_dir}; "
+                  "run stage 2 first or pass --model-path",
+                  file=sys.stderr)
+            return 1
         model = max(cands, key=os.path.getmtime)
     if a.stage <= 3 <= a.stop_stage:
         ns = argparse.Namespace(

@@ -45,6 +45,7 @@ def read_wav(path: str, sample_rate: Optional[int] = None) -> Tuple[np.ndarray, 
 def _read_riff(f) -> Tuple[np.ndarray, int]:
     """Parse RIFF chunks (handles float and PCM formats beyond stdlib wave)."""
     fmt = None
+    fmt_payload = b""
     data_bytes = None
     while True:
         head = f.read(8)
@@ -55,16 +56,31 @@ def _read_riff(f) -> Tuple[np.ndarray, int]:
         if size % 2:
             f.read(1)  # chunks are word-aligned
         if cid == b"fmt ":
+            if len(payload) < 16:
+                raise ValueError("fmt chunk too small")
             fmt = struct.unpack("<HHIIHH", payload[:16])
+            fmt_payload = payload
         elif cid == b"data":
             data_bytes = payload
     if fmt is None or data_bytes is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, n_channels, sr, _, _, bits = fmt
-    if audio_format == 0xFFFE and len(data_bytes) >= 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1  # assume PCM subformat (most common)
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # The real format code is the first 2 bytes of the SubFormat GUID in
+        # the fmt extension (base 16 + cbSize 2 + validBits 2 + mask 4 = 24).
+        if len(fmt_payload) < 26:
+            raise ValueError("malformed WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        audio_format = struct.unpack("<H", fmt_payload[24:26])[0]
+        if audio_format not in (1, 3):
+            raise ValueError(
+                f"unsupported EXTENSIBLE subformat: {audio_format}")
     if audio_format == 3:  # IEEE float
-        dtype = np.float32 if bits == 32 else np.float64
+        if bits == 32:
+            dtype = np.dtype("<f4")
+        elif bits == 64:
+            dtype = np.dtype("<f8")
+        else:
+            raise ValueError(f"unsupported IEEE-float bit depth: {bits}")
         x = np.frombuffer(data_bytes, dtype=dtype).astype(np.float32)
     elif audio_format == 1:  # PCM
         if bits == 16:
@@ -185,18 +201,25 @@ def wav_duration_samples(path: str) -> int:
         header = f.read(12)
         if header[:4] != b"RIFF" or header[8:12] != b"WAVE":
             raise ValueError(f"not a WAV file: {path}")
+        fmt = None
         while True:
             head = f.read(8)
             if len(head) < 8:
                 raise ValueError("no fmt/data chunk found")
             cid, size = struct.unpack("<4sI", head)
             if cid == b"fmt ":
+                if size < 16:
+                    raise ValueError("fmt chunk too small")
                 fmt = struct.unpack("<HHIIHH", f.read(16))
                 f.read(size - 16)
                 if size % 2:
                     f.read(1)
             elif cid == b"data":
+                if fmt is None:
+                    raise ValueError("data chunk before fmt")
                 _, n_channels, _, _, block_align, _ = fmt
+                if block_align == 0:
+                    raise ValueError("fmt chunk has zero block_align")
                 return size // block_align
             else:
                 f.seek(size + (size % 2), 1)

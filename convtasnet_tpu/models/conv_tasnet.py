@@ -99,14 +99,12 @@ class Norm(nn.Module):
             return fn(xf, self.gamma, self.beta).astype(orig_dtype)
         if train:
             axes = tuple(range(xf.ndim - 1))
+            # Under the GSPMD train step the batch axis is globally visible,
+            # so this mean/var already covers every shard — no explicit
+            # cross-device sync is needed (unlike per-replica DataParallel BN
+            # in the reference, src/train.py:83-85).
             mean = jnp.mean(xf, axis=axes)
             var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
-            # Cross-shard batch stats when running under a mapped axis.
-            try:
-                mean = jax.lax.pmean(mean, "data")
-                var = jax.lax.pmean(var, "data")
-            except NameError:
-                pass
             n = xf.size // self.features
             momentum = 0.1  # torch BatchNorm1d default
             if not self.is_initializing():

@@ -47,8 +47,17 @@ bool parse_header(FILE* f, WavInfo* info) {
       memcpy(&info->channels, fmt + 2, 2);
       memcpy(&info->sample_rate, fmt + 4, 4);
       memcpy(&info->bits, fmt + 14, 2);
-      if (info->format == 0xFFFE) info->format = 1;  // extensible -> PCM
-      int64_t skip = (int64_t)size - 16 + (size & 1);
+      int64_t consumed = 16;
+      if (info->format == 0xFFFE) {
+        // WAVE_FORMAT_EXTENSIBLE: real code = first 2 bytes of the SubFormat
+        // GUID at payload offset 24 (cbSize 2 + validBits 2 + mask 4).
+        uint8_t ext[10];
+        if (size < 26 || fread(ext, 1, 10, f) != 10) return false;
+        memcpy(&info->format, ext + 8, 2);
+        consumed += 10;
+        if (info->format != 1 && info->format != 3) return false;
+      }
+      int64_t skip = (int64_t)size - consumed + (size & 1);
       if (skip > 0 && fseek(f, (long)skip, SEEK_CUR) != 0) return false;
     } else if (memcmp(head, "data", 4) == 0) {
       info->data_offset = ftell(f);
@@ -67,7 +76,8 @@ int64_t decode_file(const char* path, float* out, int64_t max_frames) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   WavInfo info;
-  if (!parse_header(f, &info) || info.channels == 0) {
+  if (!parse_header(f, &info) || info.channels == 0 || info.bits == 0 ||
+      info.bits % 8 != 0) {
     fclose(f);
     return -1;
   }

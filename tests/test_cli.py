@@ -131,3 +131,39 @@ def test_profiler_context(tmp_path):
     for _ in range(4):
         t.tick()
     assert t.mean >= 0
+
+
+def test_recipe_standalone_stage3(tmp_path, capsys):
+    """`recipe --stage 3` on a previous run's work dir must find the trained
+    checkpoint (it lives in an auto-named subdir) instead of failing."""
+    root = str(tmp_path / "data")
+    _write_corpus(root, [16000] * 4, split="tr", seed=0)
+    _write_corpus(root, [16000] * 2, split="cv", seed=1)
+    _write_corpus(root, [16000] * 2, split="tt", seed=2)
+    work = str(tmp_path / "work")
+    common = [
+        "--data-dir", root, "--work-dir", work,
+        "--N", "16", "--L", "8", "--B", "12", "--H", "24", "--X", "2",
+        "--R", "2", "--segment", "1.0", "--batch-size", "2",
+        "--epochs", "1", "--print-freq", "100",
+        "--compute-dtype", "float32",
+    ]
+    assert main(["recipe", *common, "--stop-stage", "2"]) == 0
+    capsys.readouterr()
+    # fresh invocation: evaluate only, against the prior run's checkpoint
+    assert main(["recipe", *common, "--stage", "3", "--stop-stage", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "si_snri" in out or "loss" in out
+
+
+def test_recipe_stage3_without_checkpoint_errors(tmp_path, capsys):
+    root = str(tmp_path / "data")
+    _write_corpus(root, [16000] * 2, split="tt", seed=2)
+    work = str(tmp_path / "work")
+    os.makedirs(os.path.join(work, "exp"), exist_ok=True)
+    rc = main([
+        "recipe", "--data-dir", root, "--work-dir", work,
+        "--stage", "3", "--stop-stage", "3",
+    ])
+    assert rc == 1
+    assert "no final.ckpt" in capsys.readouterr().err

@@ -175,3 +175,63 @@ def test_loader_stress_deterministic_contents(tmp_path):
     assert len(got) == len(want)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
+
+
+def _write_extensible_wav(path, x, sr, subformat, bits):
+    """Hand-rolled WAVE_FORMAT_EXTENSIBLE file (fmt code 0xFFFE + GUID)."""
+    import struct
+
+    if subformat == 3:  # IEEE float
+        payload = x.astype("<f4").tobytes()
+    else:  # PCM16
+        payload = (np.clip(x, -1, 1 - 1 / 32768) * 32768).astype("<i2").tobytes()
+    guid = struct.pack("<H", subformat) + b"\x00\x00" + bytes.fromhex(
+        "00001000800000aa00389b71")
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, sr, sr * bits // 8, bits // 8, bits)
+    fmt += struct.pack("<HHI", 22, bits, 0x4) + guid
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(fmt) - 16 + len(payload)))
+        f.write(b"WAVE")
+        f.write(b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+        f.write(b"data" + struct.pack("<I", len(payload)) + payload)
+
+
+def test_wav_extensible_subformats(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE must dispatch on the SubFormat GUID: an
+    IEEE-float extensible file decodes as float, not garbage int PCM."""
+    x = np.random.default_rng(1).uniform(-0.5, 0.5, 2000).astype(np.float32)
+    pf = str(tmp_path / "ext_float.wav")
+    _write_extensible_wav(pf, x, SR, subformat=3, bits=32)
+    y, sr = read_wav(pf)
+    assert sr == SR
+    np.testing.assert_array_equal(y, x)
+    pp = str(tmp_path / "ext_pcm.wav")
+    _write_extensible_wav(pp, x, SR, subformat=1, bits=16)
+    y2, _ = read_wav(pp)
+    np.testing.assert_allclose(y2, x, atol=1.0 / 32768)
+
+
+def test_wav_malformed_headers(tmp_path):
+    """Malformed headers raise clean ValueErrors (not struct/ZeroDivision)."""
+    import struct
+
+    import pytest
+
+    # data chunk before fmt
+    p = str(tmp_path / "data_first.wav")
+    payload = b"\x00\x00" * 10
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 4 + 8 + len(payload)) + b"WAVE")
+        f.write(b"data" + struct.pack("<I", len(payload)) + payload)
+    with pytest.raises(ValueError):
+        wav_duration_samples(p)
+    # fmt chunk smaller than 16 bytes
+    p2 = str(tmp_path / "tiny_fmt.wav")
+    with open(p2, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 30) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00")
+        f.write(b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError):
+        wav_duration_samples(p2)
+    with pytest.raises(ValueError):
+        read_wav(p2)
