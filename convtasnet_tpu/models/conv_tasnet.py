@@ -33,10 +33,15 @@ import jax
 import jax.numpy as jnp
 
 from convtasnet_tpu.config import ConvTasNetConfig
+from convtasnet_tpu.models.functional import (
+    block_forward,
+    decode_frames,
+    encode_frames,
+    mask_from_scores,
+)
 from convtasnet_tpu.ops.conv import (
     depthwise_conv1d,
     pointwise_conv,
-    prelu,
     torch_conv_xavier_normal,
 )
 from convtasnet_tpu.ops.frames import frame_signal, overlap_and_add
@@ -134,11 +139,7 @@ class Encoder(nn.Module):
             (cfg.kernel_size, cfg.n_filters),
         )
         frames = frame_signal(mixture, cfg.kernel_size, cfg.stride)
-        y = jnp.einsum(
-            "mkl,ln->mkn", frames, w.astype(frames.dtype),
-            preferred_element_type=frames.dtype,
-        )
-        return jax.nn.relu(y)
+        return encode_frames({"w": w}, frames)
 
 
 class Decoder(nn.Module):
@@ -157,10 +158,7 @@ class Decoder(nn.Module):
             (cfg.n_filters, cfg.kernel_size),
         )
         # D = W ⊙ M, then S = D V — one einsum: mask-apply fused into the matmul.
-        est_frames = jnp.einsum(
-            "mkn,mkcn,nl->mckl", mixture_w, est_mask, w.astype(mixture_w.dtype),
-            preferred_element_type=mixture_w.dtype,
-        )
+        est_frames = decode_frames({"w": w}, mixture_w, est_mask)
         return overlap_and_add(est_frames, cfg.stride)
 
 
@@ -203,14 +201,15 @@ class TemporalBlock(nn.Module):
                 norm_type=cfg.norm_type, bn_stats=bn_stats,
                 interpret=jax.default_backend() == "cpu")
 
-        y = pointwise_conv(x, w_in.astype(x.dtype))
-        y = prelu(y, a1.astype(y.dtype))
-        y = norm1(y, train=train)
-        y = depthwise_conv1d(y, w_dw.astype(y.dtype), self.dilation, cfg.causal)
-        y = prelu(y, a2.astype(y.dtype))
-        y = norm2(y, train=train)
-        y = pointwise_conv(y, w_out.astype(y.dtype))
-        return x + y
+        blk = {"conv1x1": w_in, "prelu1": a1, "dwconv": w_dw,
+               "prelu2": a2, "pwconv": w_out}
+        return block_forward(
+            blk, x,
+            dwconv=lambda h, w: depthwise_conv1d(
+                h, w, self.dilation, cfg.causal),
+            norm1=lambda h: norm1(h, train=train),
+            norm2=lambda h: norm2(h, train=train),
+        )
 
 
 class TemporalConvNet(nn.Module):
@@ -243,13 +242,7 @@ class TemporalConvNet(nn.Module):
                 )
         w_mask = self.param("mask_conv", _conv_init(C * N, B, 1), (B, C * N))
         score = pointwise_conv(y, w_mask.astype(y.dtype))
-        M, K = score.shape[0], score.shape[1]
-        score = score.reshape(M, K, C, N)
-        if cfg.mask_nonlinear == "softmax":
-            return jax.nn.softmax(score, axis=2)
-        if cfg.mask_nonlinear == "relu":
-            return jax.nn.relu(score)
-        raise ValueError(f"unsupported mask nonlinearity: {cfg.mask_nonlinear}")
+        return mask_from_scores(cfg, score)
 
 
 class ConvTasNet(nn.Module):

@@ -19,8 +19,8 @@ The carried state is therefore
 ``stream_step`` is a pure jitted function ``(params, state, chunk) ->
 (state, out)`` emitting exactly ``len(chunk)`` output samples per call.
 Alignment contract: with zero-initialized state, the concatenated stream
-output (plus ``stream_flush``) is *bit-identical* to the batch causal
-forward on the input left-padded with ``L - hop`` zeros — i.e. the stream
+output (plus ``stream_flush``) equals the batch causal forward on the input
+left-padded with ``L - hop`` zeros (to float tolerance; tested at 1e-5) — i.e. the stream
 runs at an algorithmic latency of ``L - hop`` samples (1.25 ms at the paper
 config), which is the earliest any encoder window covering a sample can
 close. It reuses the exact parameter pytree of ``ConvTasNet`` so any
@@ -35,7 +35,11 @@ import jax
 import jax.numpy as jnp
 
 from convtasnet_tpu.config import ConvTasNetConfig
-from convtasnet_tpu.ops.conv import pointwise_conv, prelu
+from convtasnet_tpu.models.functional import (
+    decode_frames,
+    encode_frames,
+    separator_forward,
+)
 from convtasnet_tpu.ops.frames import overlap_and_add
 from convtasnet_tpu.ops.norm import channelwise_layer_norm
 
@@ -116,44 +120,38 @@ def stream_step(
     q = L // hop
     frames = jnp.concatenate([sub[:, i : i + K, :] for i in range(q)], axis=-1)
     new_state["sample_carry"] = buf[:, -(L - hop):]
-    w = jax.nn.relu(
-        jnp.einsum("mkl,ln->mkn", frames, params["encoder"]["w"]))
+    w = encode_frames(params["encoder"], frames)
 
-    # --- separator ------------------------------------------------------------
+    # --- separator (shared math; dwconv reads/writes the carried ring buffer)
     sep = params["separator"]
-    y = channelwise_layer_norm(w, sep["input_norm"]["gamma"],
-                               sep["input_norm"]["beta"])
-    y = pointwise_conv(y, sep["bottleneck"])
-    for r in range(cfg.num_repeats):
-        for x in range(cfg.num_blocks):
-            name = f"block_r{r}_x{x}"
-            blk = sep[name]
-            d = 2 ** x
-            halo = (cfg.conv_kernel - 1) * d
-            res = y
-            h = pointwise_conv(y, blk["conv1x1"])
-            h = prelu(h, blk["prelu1"])
-            h = _norm_stream(blk["norm1"], stats.get(name, {}).get("norm1"), h, cfg)
-            # causal depthwise conv with carried history
-            hist = state["blocks"][name]
-            hbuf = jnp.concatenate([hist, h], axis=1)  # [M, halo+K, H]
+
+    def make_block_ops(name, d):
+        halo = (cfg.conv_kernel - 1) * d
+
+        def dwconv(h, wdw):
+            hbuf = jnp.concatenate([state["blocks"][name], h], axis=1)
             new_state["blocks"][name] = hbuf[:, -halo:, :]
-            wdw = blk["dwconv"]
             out = hbuf[:, halo : halo + K, :] * wdw[cfg.conv_kernel - 1]
             for p in range(cfg.conv_kernel - 1):
                 out = out + hbuf[:, p * d : p * d + K, :] * wdw[p]
-            h = prelu(out, blk["prelu2"])
-            h = _norm_stream(blk["norm2"], stats.get(name, {}).get("norm2"), h, cfg)
-            h = pointwise_conv(h, blk["pwconv"])
-            y = res + h
-    score = pointwise_conv(y, sep["mask_conv"])
-    score = score.reshape(M, K, cfg.num_speakers, cfg.n_filters)
-    mask = (jax.nn.softmax(score, axis=2) if cfg.mask_nonlinear == "softmax"
-            else jax.nn.relu(score))
+            return out
+
+        st = stats.get(name, {})
+        return {
+            "dwconv": dwconv,
+            "norm1": lambda h: _norm_stream(sep[name]["norm1"], st.get("norm1"), h, cfg),
+            "norm2": lambda h: _norm_stream(sep[name]["norm2"], st.get("norm2"), h, cfg),
+        }
+
+    mask = separator_forward(
+        cfg, sep, w,
+        input_norm=lambda v: channelwise_layer_norm(
+            v, sep["input_norm"]["gamma"], sep["input_norm"]["beta"]),
+        make_block_ops=make_block_ops,
+    )
 
     # --- decoder + incremental OLA -------------------------------------------
-    est_frames = jnp.einsum(
-        "mkn,mkcn,nl->mckl", w, mask, params["decoder"]["w"])
+    est_frames = decode_frames(params["decoder"], w, mask)
     ola = overlap_and_add(est_frames, hop)  # [M, C, (K-1)*hop + L]
     ola = ola.at[:, :, : L - hop].add(state["ola_carry"])
     out = ola[:, :, : K * hop]

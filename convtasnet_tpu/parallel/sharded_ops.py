@@ -32,7 +32,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from convtasnet_tpu.config import ConvTasNetConfig
-from convtasnet_tpu.ops.conv import prelu
+from convtasnet_tpu.models.functional import (
+    decode_frames,
+    encode_frames,
+    separator_forward,
+)
 
 EPS = 1e-8
 
@@ -124,31 +128,31 @@ def _shard_forward(cfg: ConvTasNetConfig, variables, samples, axis_name: str):
     sub = buf[: n_sub * hop].reshape(n_sub, hop)
     K = samples.shape[0] // hop  # frames owned by this shard
     frames = jnp.concatenate([sub[i: i + K, :] for i in range(q)], axis=-1)
-    w = jax.nn.relu(frames @ params["encoder"]["w"])  # [K, N]
+    w = encode_frames(params["encoder"], frames)  # [K, N]
 
     sep = params["separator"]
-    y = _cln(w, sep["input_norm"]["gamma"], sep["input_norm"]["beta"])
-    y = y @ sep["bottleneck"]
-    for r in range(cfg.num_repeats):
-        for x in range(cfg.num_blocks):
-            name = f"block_r{r}_x{x}"
-            blk = sep[name]
-            st = stats_all.get(name, {})
-            res = y
-            h = prelu(y @ blk["conv1x1"], blk["prelu1"])
-            h = _norm(h, blk["norm1"], st.get("norm1"), cfg, axis_name)
-            h = _sharded_dwconv(h, blk["dwconv"], 2 ** x, cfg.causal, axis_name)
-            h = prelu(h, blk["prelu2"])
-            h = _norm(h, blk["norm2"], st.get("norm2"), cfg, axis_name)
-            y = res + h @ blk["pwconv"]
-    score = y @ sep["mask_conv"]
-    C, N = cfg.num_speakers, cfg.n_filters
-    score = score.reshape(K, C, N)
-    mask = (jax.nn.softmax(score, axis=1) if cfg.mask_nonlinear == "softmax"
-            else jax.nn.relu(score))
+
+    def make_block_ops(name, dilation):
+        st = stats_all.get(name, {})
+        return {
+            "dwconv": lambda h, wdw: _sharded_dwconv(
+                h, wdw, dilation, cfg.causal, axis_name),
+            "norm1": lambda h: _norm(h, sep[name]["norm1"], st.get("norm1"),
+                                     cfg, axis_name),
+            "norm2": lambda h: _norm(h, sep[name]["norm2"], st.get("norm2"),
+                                     cfg, axis_name),
+        }
+
+    mask = separator_forward(
+        cfg, sep, w,
+        input_norm=lambda v: _cln(v, sep["input_norm"]["gamma"],
+                                  sep["input_norm"]["beta"]),
+        make_block_ops=make_block_ops,
+    )
+    C = cfg.num_speakers
 
     # decoder + boundary overlap-add
-    est = jnp.einsum("kn,kcn,nl->ckl", w, mask, params["decoder"]["w"])
+    est = decode_frames(params["decoder"], w, mask)
     from convtasnet_tpu.ops.frames import overlap_and_add
 
     ola = overlap_and_add(est, hop)  # [C, (K-1)*hop + L] = [C, T_s + L - hop]

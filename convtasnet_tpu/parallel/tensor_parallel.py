@@ -32,7 +32,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from convtasnet_tpu.config import ConvTasNetConfig
-from convtasnet_tpu.ops.conv import depthwise_conv1d, prelu
+from convtasnet_tpu.models.functional import (
+    decode_frames,
+    encode_frames,
+    separator_forward,
+)
+from convtasnet_tpu.ops.conv import depthwise_conv1d
 from convtasnet_tpu.ops.frames import frame_signal, overlap_and_add
 
 EPS = 1e-8
@@ -118,30 +123,31 @@ def _tp_shard_forward(cfg: ConvTasNetConfig, variables, mixture, axis: str):
     params = variables["params"]
     stats_all = variables.get("batch_stats", {}).get("separator", {})
     frames = frame_signal(mixture, cfg.kernel_size, cfg.stride)
-    w = jax.nn.relu(jnp.einsum("mkl,ln->mkn", frames, params["encoder"]["w"]))
+    w = encode_frames(params["encoder"], frames)
 
     sep = params["separator"]
-    y = _cln_full(w, sep["input_norm"]["gamma"], sep["input_norm"]["beta"])
-    y = y @ sep["bottleneck"]
-    for r in range(cfg.num_repeats):
-        for x in range(cfg.num_blocks):
-            name = f"block_r{r}_x{x}"
-            blk = sep[name]
-            st = stats_all.get(name, {})
-            res = y
-            h = prelu(y @ blk["conv1x1"], blk["prelu1"])      # [M, K, H/m]
-            h = _norm_tp(h, blk["norm1"], st.get("norm1"), cfg, axis)
-            h = depthwise_conv1d(h, blk["dwconv"], 2 ** x, cfg.causal)
-            h = prelu(h, blk["prelu2"])
-            h = _norm_tp(h, blk["norm2"], st.get("norm2"), cfg, axis)
-            partial = h @ blk["pwconv"]                        # partial [.., B]
-            y = res + jax.lax.psum(partial, axis)
-    score = y @ sep["mask_conv"]
-    M, K = score.shape[0], score.shape[1]
-    score = score.reshape(M, K, cfg.num_speakers, cfg.n_filters)
-    mask = (jax.nn.softmax(score, axis=2) if cfg.mask_nonlinear == "softmax"
-            else jax.nn.relu(score))
-    est = jnp.einsum("mkn,mkcn,nl->mckl", w, mask, params["decoder"]["w"])
+
+    def make_block_ops(name, dilation):
+        st = stats_all.get(name, {})
+        return {
+            "dwconv": lambda h, wdw: depthwise_conv1d(
+                h, wdw, dilation, cfg.causal),
+            "norm1": lambda h: _norm_tp(h, sep[name]["norm1"],
+                                        st.get("norm1"), cfg, axis),
+            "norm2": lambda h: _norm_tp(h, sep[name]["norm2"],
+                                        st.get("norm2"), cfg, axis),
+            # W_out is row-sharded: partial products all-reduce before the
+            # residual add (Megatron g-operator)
+            "combine": lambda res, out: res + jax.lax.psum(out, axis),
+        }
+
+    mask = separator_forward(
+        cfg, sep, w,
+        input_norm=lambda v: _cln_full(v, sep["input_norm"]["gamma"],
+                                       sep["input_norm"]["beta"]),
+        make_block_ops=make_block_ops,
+    )
+    est = decode_frames(params["decoder"], w, mask)
     out = overlap_and_add(est, cfg.stride)
     T = mixture.shape[-1]
     if out.shape[-1] < T:
