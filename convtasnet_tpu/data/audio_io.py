@@ -127,14 +127,26 @@ def _read_sphere(f, header12: bytes) -> Tuple[np.ndarray, int]:
         if line.strip() == "end_head":
             break
     coding = fields.get("sample_coding", "pcm")
-    if "shorten" in coding or "embedded" in coding:
-        raise ValueError(
-            "shorten-compressed SPHERE file: convert with sph2pipe first")
     sr = int(fields.get("sample_rate", 16000))
     n_channels = int(fields.get("channel_count", 1))
     n_samples = int(fields["sample_count"])
     n_bytes = int(fields.get("sample_n_bytes", 2))
     byte_format = fields.get("sample_byte_format", "01")
+    if "shorten" in coding or "embedded" in coding:
+        # WSJ0 distribution format (.wv1/.wv2): native shorten decode —
+        # subsumes the reference's external sph2pipe build
+        # (tools/Makefile:9-11); see data/shorten.py.
+        from convtasnet_tpu.data.shorten import decode, samples_to_float
+
+        f.seek(header_bytes)
+        try:
+            samples, ftype, _ = decode(f.read(), max_samples=n_samples)
+        except EOFError as e:
+            raise ValueError(f"truncated shorten payload: {e}") from e
+        x = samples_to_float(samples[:n_samples], ftype)
+        if n_channels == 1 and x.shape[1] == 1:
+            x = x[:, 0]
+        return x, sr
     f.seek(header_bytes)
     raw = f.read(n_samples * n_channels * n_bytes)
     if n_bytes == 2:

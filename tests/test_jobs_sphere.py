@@ -60,9 +60,11 @@ def test_read_sphere_pcm(tmp_path):
     assert sr2 == 8000 and y2.shape[0] == 4000
 
 
-def test_read_sphere_shorten_rejected(tmp_path):
+def test_read_sphere_shorten_garbage_payload_rejected(tmp_path):
+    """Shorten-coded SPHERE is now decoded natively (tests/test_shorten.py);
+    a corrupt payload must still fail loudly, not produce garbage audio."""
     x = np.zeros(100, np.float32)
     p = str(tmp_path / "b.sph")
     _write_sphere(p, x, coding="pcm,embedded-shorten-v2.00")
-    with pytest.raises(ValueError, match="sph2pipe"):
-        read_wav(p)
+    with pytest.raises(ValueError, match="magic"):
+        read_wav(p)  # payload is raw PCM, not a shorten stream
