@@ -122,12 +122,23 @@ def _cfg_from_args(a: argparse.Namespace) -> TrainConfig:
 
 
 def cmd_prepare(a) -> int:
-    from convtasnet_tpu.tools.mixture import create_mixtures, read_pair_list
+    from convtasnet_tpu.tools.mixture import (
+        create_mixtures,
+        create_mixtures_multi,
+        read_pair_list,
+    )
 
     rows = read_pair_list(a.pair_list)
-    names = create_mixtures(rows, a.out_dir, a.sample_rate, mode=a.mode,
-                            source_root=a.source_root)
-    print(f"generated {len(names)} mixtures in {a.out_dir}")
+    if getattr(a, "all_variants", 0):
+        # 8k+16k x min+max in one pass (create_wav_2speakers.m:157-181)
+        names = create_mixtures_multi(rows, a.out_dir,
+                                      source_root=a.source_root)
+        print(f"generated {len(names)} mixtures x 4 variants "
+              f"(wav8k/wav16k x min/max) in {a.out_dir}")
+    else:
+        names = create_mixtures(rows, a.out_dir, a.sample_rate, mode=a.mode,
+                                source_root=a.source_root)
+        print(f"generated {len(names)} mixtures in {a.out_dir}")
     return 0
 
 
@@ -282,6 +293,9 @@ def main(argv=None) -> int:
     p.add_argument("--source-root", default="")
     p.add_argument("--sample-rate", type=int, default=8000)
     p.add_argument("--mode", default="min", choices=["min", "max"])
+    p.add_argument("--all-variants", type=int, default=0,
+                   help="emit 8k+16k x min+max trees in one pass "
+                        "(MATLAB generator parity)")
     p.set_defaults(fn=cmd_prepare)
 
     p = sub.add_parser("preprocess", help="build JSON manifests (stage 1)")

@@ -6,7 +6,8 @@ Capability parity with the vendored voicebox ``activlev.m`` (reference
 mixing, ``create_wav_2speakers.m:89-91``). This is an independent numpy
 implementation of the published ITU-T P.56 method B:
 
-1. optional 200 Hz high-pass (measurement band conditioning),
+1. optional band-limit to the P.56 measurement band (200 Hz - 5.5 kHz;
+   high-pass side only at narrowband rates),
 2. envelope ``q`` from two cascaded exponential averagers with time constant
    0.03 s,
 3. for a ladder of binary thresholds ``c_j``, count samples active
@@ -71,9 +72,16 @@ def active_level(
         x = x.reshape(-1)
     m = x
     if highpass and fs > 1000:
+        # P.56 measurement band: 200 Hz - 5.5 kHz (voicebox activlev.m
+        # default flh=[200 5500], 5th-order designs with -50 dB stopbands,
+        # activlev.m:144-154); below-11 kHz rates get the high-pass side only
         from scipy.signal import butter, lfilter
 
-        b, a = butter(2, 200.0 / (fs / 2), btype="highpass")
+        ny = fs / 2
+        if 5500.0 < ny:
+            b, a = butter(5, [200.0 / ny, 5500.0 / ny], btype="bandpass")
+        else:
+            b, a = butter(5, 200.0 / ny, btype="highpass")
         m = lfilter(b, a, x)
     energy = float(np.sum(m ** 2))
     T = m.shape[0]

@@ -144,6 +144,72 @@ def create_mixtures(
     return names
 
 
+def create_mixtures_multi(
+    rows: Sequence[MixRow],
+    out_root: str,
+    sample_rates: Sequence[int] = (8000, 16000),
+    modes: Sequence[str] = ("min", "max"),
+    source_root: str = "",
+    peak: float = 0.9,
+) -> List[str]:
+    """All (rate, mode) variants in ONE pass over the sources.
+
+    Parity with the MATLAB generator, which writes ``wav8k/min``,
+    ``wav8k/max``, ``wav16k/min`` and ``wav16k/max`` (plus per-variant
+    scaling files) from a single read of each source pair
+    (``create_wav_2speakers.m:157-181``). Each source is read once at its
+    native rate, then resampled + P.56-normalized per target rate; min/max
+    share those normalized sources. Output tree:
+    ``out_root/wav{R}k/{mode}/{s1..sC,mix}/<name>.wav``.
+    """
+    for mode in modes:
+        assert mode in ("min", "max"), mode
+    C = len(rows[0].paths) if rows else 2
+    parts = [f"s{i + 1}" for i in range(C)] + ["mix"]
+    variants = [(sr, mode) for sr in sample_rates for mode in modes]
+    dirs = {}
+    for sr, mode in variants:
+        d = os.path.join(out_root, f"wav{sr // 1000}k", mode)
+        dirs[(sr, mode)] = d
+        for p in parts:
+            os.makedirs(os.path.join(d, p), exist_ok=True)
+
+    names = []
+    scalings = {v: [] for v in variants}
+    for row in rows:
+        raw = [read_wav(os.path.join(source_root, p)) for p in row.paths]
+        names.append(row.name)
+        for sr in sample_rates:
+            srcs = []
+            for (x, x_sr), snr in zip(raw, row.snrs):
+                if x_sr != sr:
+                    x = resample(x, x_sr, sr)
+                x, _ = normalize_active(x, sr)
+                srcs.append(10.0 ** (snr / 20.0) * x)
+            for mode in modes:
+                if mode == "min":
+                    T = min(len(s) for s in srcs)
+                    cut = [s[:T] for s in srcs]
+                else:
+                    T = max(len(s) for s in srcs)
+                    cut = [np.pad(s, (0, T - len(s))) for s in srcs]
+                mix = np.sum(cut, axis=0)
+                max_amp = max(float(np.max(np.abs(mix))),
+                              *[float(np.max(np.abs(s))) for s in cut])
+                scale = peak / max_amp if max_amp > 0 else 1.0
+                scalings[(sr, mode)].append(scale)
+                d = dirs[(sr, mode)]
+                for c, s in enumerate(cut):
+                    write_wav(os.path.join(d, f"s{c + 1}", row.name + ".wav"),
+                              scale * s, sr)
+                write_wav(os.path.join(d, "mix", row.name + ".wav"),
+                          scale * mix, sr)
+    for v, d in dirs.items():
+        np.savez(os.path.join(d, "scaling.npz"),
+                 names=np.array(names), scaling=np.array(scalings[v]))
+    return names
+
+
 def flac_to_wav(flac_dir: str, wav_dir: str) -> int:
     """flac -> wav conversion (parity: ``tools/flac_to_wav.py``).
 

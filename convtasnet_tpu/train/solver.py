@@ -64,6 +64,13 @@ class Solver:
 
         rng = jax.random.PRNGKey(s.seed)
         example_len = int(cfg.data.segment * cfg.data.sample_rate) if cfg.data.segment > 0 else 4 * cfg.data.sample_rate
+        if cfg.model.use_pallas:
+            # AOT-probe each dilation's fused kernel for the training shape so
+            # a flaky Mosaic compile degrades that block to XLA instead of
+            # failing the whole train-step jit (ops/pallas/tcn_block.py).
+            from convtasnet_tpu.ops.pallas.tcn_block import ensure_probed
+
+            ensure_probed(cfg.model, cfg.data.batch_size, example_len)
         self.state, self.tx = create_train_state(cfg.model, s, rng, example_len)
         self.train_step = make_train_step(cfg.model, self.tx, mesh=mesh)
         self.eval_step = make_eval_step(cfg.model, mesh=mesh)
@@ -166,10 +173,14 @@ class Solver:
                 self.logger.log_iter(
                     epoch, i - 1,
                     {"loss": losses[-1], "avg_loss": avg, "ms_per_batch": ms})
-        # tail: single-step the remainder (avoids a second scan compile)
+        # tail: single-step the remainder (avoids a second scan compile);
+        # on interruption the buffered batches are dropped un-stepped so the
+        # checkpoint is written immediately
         tail = group
         group = []
         for batch in tail:
+            if self._interrupted:
+                break
             self.state, metrics = self.train_step(self.state, batch)
             pending.append(metrics["loss"])
         losses.extend(float(x) for x in pending)
@@ -178,6 +189,8 @@ class Solver:
     def _run_cv_epoch(self, epoch: int) -> float:
         total, count = 0.0, 0
         for batch in self.cv_loader:
+            if self._interrupted:
+                break
             loss = self.eval_step(self.state, batch)
             total += float(loss)
             count += 1
@@ -230,6 +243,13 @@ class Solver:
 
             t1 = time.time()
             val_loss = self._run_cv_epoch(epoch)
+            if self._interrupted:
+                path = os.path.join(s.save_folder, "preempted.ckpt")
+                self._save(path, epoch)
+                self.logger.print(
+                    f"Interrupted during cv pass of epoch {epoch + 1}; state "
+                    f"saved to {path} (resume with continue_from)")
+                break
             self.logger.log_epoch(epoch, "valid", val_loss, time.time() - t1)
             self.cv_loss.append(val_loss)
 

@@ -111,3 +111,66 @@ def test_preemption_checkpoint(tmp_path):
                             continue_from=ckpt))
     s2 = Solver(cfg2, FakeLoader(), FakeLoader(n_batches=1))
     assert int(s2.state.step) == int(s.state.step)
+
+
+def test_interruption_during_cv_pass_checkpoints(tmp_path):
+    """A signal landing during the cv pass must still checkpoint-and-exit
+    (previously only the train pass honored it)."""
+    s = _solver(tmp_path, epochs=50)
+    evals = {"n": 0}
+    orig_eval = s.eval_step
+
+    def eval_and_interrupt(state, batch):
+        evals["n"] += 1
+        os.kill(os.getpid(), signal.SIGTERM)
+        return orig_eval(state, batch)
+
+    s.eval_step = eval_and_interrupt
+    result = s.train()
+    assert evals["n"] == 1  # interrupted on the first cv batch of epoch 0
+    assert len(result["cv_loss"]) == 0  # partial cv average never recorded
+    assert os.path.exists(os.path.join(str(tmp_path / "exp"),
+                                       "preempted.ckpt"))
+
+
+def test_interruption_inside_steps_per_call_group(tmp_path):
+    """With steps_per_call buffering, a signal arriving mid-group drops the
+    un-stepped buffered batches and checkpoints immediately (no training
+    after the signal)."""
+    cfg = TrainConfig(
+        model=TINY, data=DataConfig(segment=0.1, batch_size=2),
+        solver=SolverConfig(epochs=50, lr=1e-3, print_freq=1000,
+                            save_folder=str(tmp_path / "exp"),
+                            steps_per_call=4))
+    # 3 batches/epoch: with steps_per_call=4 the group never fills, so all
+    # batches flow through the tail path
+    s = Solver(cfg, FakeLoader(n_batches=3), FakeLoader(n_batches=1))
+    stepped = {"n": 0}
+    orig = s.train_step
+
+    def counting_step(state, batch):
+        stepped["n"] += 1
+        return orig(state, batch)
+
+    s.train_step = counting_step
+    # interrupt while the group is still buffering (before any step ran)
+    batches = s.tr_loader.batches
+
+    class InterruptingLoader:
+        def __iter__(self):
+            for k, b in enumerate(batches):
+                if k == 2:
+                    os.kill(os.getpid(), signal.SIGTERM)
+                yield b
+
+        def __len__(self):
+            return 3
+
+        def set_epoch(self, e):
+            pass
+
+    s.tr_loader = InterruptingLoader()
+    s.train()
+    assert stepped["n"] == 0  # buffered batches were dropped, not trained
+    assert os.path.exists(os.path.join(str(tmp_path / "exp"),
+                                       "preempted.ckpt"))

@@ -127,3 +127,127 @@ def test_create_mixtures_three_speakers(tmp_path):
     total = sum(read_wav(os.path.join(out, f"s{c+1}", names[0] + ".wav"))[0]
                 for c in range(3))
     np.testing.assert_allclose(mix, total, atol=4.0 / 32768)
+
+
+# ---- P.56 active-level oracle -------------------------------------------
+# Hand-computable signals with known active levels: a correct P.56 meter
+# reports the level over ACTIVE speech; a naive RMS meter reports the
+# long-term level and fails the duty-cycle cases. (The reference vendors
+# voicebox activlev.m for this, tools/matlab-code/activlev.m:71-78.)
+
+BURST_PERIOD = 3.0  # s; gaps must dwarf the 0.2 s P.56 hangover
+
+
+def _speech_burst(fs, dur, duty, seed=0, f0=300.0):
+    """duty-cycled modulated tone bursts: unit power while active."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(dur * fs)) / fs
+    x = np.sqrt(2.0) * np.sin(2 * np.pi * f0 * t)
+    x *= 1.0 + 0.3 * np.sin(2 * np.pi * 2.3 * t)  # syllabic modulation
+    period = int(BURST_PERIOD * fs)
+    gate = (np.arange(len(t)) % period) < int(duty * period)
+    return x * gate, gate
+
+
+def _expected_active(burst_power, duty):
+    """P.56 counts the 0.2 s hangover after each burst as active."""
+    on = duty * BURST_PERIOD
+    return burst_power * on / (on + 0.2)
+
+
+def test_p56_duty_cycle_measures_active_level_not_long_term():
+    from convtasnet_tpu.tools.activlev import active_level
+
+    fs = 8000
+    x, gate = _speech_burst(fs, 12.0, duty=0.5)
+    burst_power = float(np.mean(x[gate] ** 2))
+    lev, act = active_level(x, fs, highpass=False)
+    # the meter must report ~the burst power (hangover-corrected), not the
+    # 3 dB lower long-term level
+    assert abs(10 * np.log10(lev / _expected_active(burst_power, 0.5))) < 0.8
+    assert 0.4 < act < 0.75  # ~50% active (hangover inflates it slightly)
+    # a 25% duty cycle: same active level, lower activity
+    x2, gate2 = _speech_burst(fs, 12.0, duty=0.25)
+    burst2 = float(np.mean(x2[gate2] ** 2))
+    lev2, act2 = active_level(x2, fs, highpass=False)
+    assert abs(10 * np.log10(lev2 / _expected_active(burst2, 0.25))) < 1.0
+    assert act2 < act
+
+
+def test_p56_continuous_signal_activity_near_one():
+    from convtasnet_tpu.tools.activlev import active_level
+
+    fs = 8000
+    t = np.arange(4 * fs) / fs
+    x = np.sqrt(2.0) * np.sin(2 * np.pi * 440 * t)
+    lev, act = active_level(x, fs, highpass=False)
+    assert abs(10 * np.log10(lev / 1.0)) < 0.5  # unit-power tone
+    assert act > 0.9
+
+
+def test_p56_scale_invariance_and_silence_padding():
+    from convtasnet_tpu.tools.activlev import active_level
+
+    fs = 8000
+    x, _ = _speech_burst(fs, 6.0, duty=0.6, seed=1)
+    lev, act = active_level(x, fs)
+    lev_scaled, _ = active_level(7.5 * x, fs)
+    np.testing.assert_allclose(lev_scaled, 7.5 ** 2 * lev, rtol=1e-3)
+    # appending silence must not move the active level (but halves activity)
+    padded = np.concatenate([x, np.zeros_like(x)])
+    lev_p, act_p = active_level(padded, fs)
+    assert abs(10 * np.log10(lev_p / lev)) < 0.5
+    assert act_p < 0.65 * act + 0.05
+
+
+def test_p56_measurement_band_excludes_out_of_band_energy():
+    """At 16 kHz the P.56 band is 200-5500 Hz: a strong 7 kHz tone added on
+    top of in-band speech must barely move the measured level."""
+    from convtasnet_tpu.tools.activlev import active_level
+
+    fs = 16000
+    x, _ = _speech_burst(fs, 6.0, duty=0.5, f0=500.0)
+    t = np.arange(len(x)) / fs
+    noise = 2.0 * np.sin(2 * np.pi * 7000 * t)  # 6 dB above the speech
+    lev, _ = active_level(x, fs)
+    lev_noisy, _ = active_level(x + noise, fs)
+    assert abs(10 * np.log10(lev_noisy / lev)) < 1.0
+
+
+def test_create_mixtures_multi_variants(tmp_path):
+    """One pass emits all four (rate, mode) trees with consistent content
+    (parity: create_wav_2speakers.m writes 8k&16k x min&max + scaling)."""
+    from convtasnet_tpu.data.audio_io import read_wav, write_wav
+    from convtasnet_tpu.tools.mixture import MixRow, create_mixtures_multi
+
+    rng = np.random.default_rng(0)
+    src = tmp_path / "src"
+    os.makedirs(src)
+    lens = [20000, 26000]
+    for i, n in enumerate(lens):
+        t = np.arange(n) / 16000
+        x = 0.4 * np.sin(2 * np.pi * (300 + 200 * i) * t)
+        write_wav(str(src / f"u{i}.wav"), x.astype(np.float32), 16000)
+    rows = [MixRow((str(src / "u0.wav"), str(src / "u1.wav")), (1.0, -1.0))]
+    out = str(tmp_path / "out")
+    names = create_mixtures_multi(rows, out)
+    assert len(names) == 1
+    for rate, rdir in ((8000, "wav8k"), (16000, "wav16k")):
+        for mode in ("min", "max"):
+            d = os.path.join(out, rdir, mode)
+            mix, sr = read_wav(os.path.join(d, "mix", names[0] + ".wav"))
+            s1, _ = read_wav(os.path.join(d, "s1", names[0] + ".wav"))
+            s2, _ = read_wav(os.path.join(d, "s2", names[0] + ".wav"))
+            assert sr == rate
+            expected = (min(lens) if mode == "min" else max(lens))
+            assert len(mix) == expected * rate // 16000
+            # mixture is the sum of the written sources
+            np.testing.assert_allclose(mix, s1 + s2, atol=3e-4)
+            # peak rescale to 0.9
+            peak = max(np.abs(mix).max(), np.abs(s1).max(), np.abs(s2).max())
+            np.testing.assert_allclose(peak, 0.9, atol=2e-3)
+            assert os.path.exists(os.path.join(d, "scaling.npz"))
+    # 'max' tree zero-pads the short source
+    s1max, _ = read_wav(os.path.join(out, "wav8k", "max", "s1",
+                                     names[0] + ".wav"))
+    assert np.allclose(s1max[-(26000 - 20000) // 2:], 0.0, atol=1e-6)
