@@ -19,6 +19,11 @@ sample_rate=8000
 batch_size=24
 epochs=100
 cal_sdr=0
+# --cmd: stage launcher (Kaldi cmd.sh capability). "local" runs in-process;
+# otherwise a blocking submission template with {script}/{log} placeholders,
+# e.g. --cmd 'sbatch --wait -o {log} {script}'  or
+#      --cmd 'qsub -sync y -j y -o {log} {script}'
+cmd=local
 extra_args=()
 
 while [[ $# -gt 0 ]]; do
@@ -31,17 +36,45 @@ while [[ $# -gt 0 ]]; do
     --batch-size) batch_size=$2; shift 2 ;;
     --epochs) epochs=$2; shift 2 ;;
     --cal-sdr) cal_sdr=$2; shift 2 ;;
+    --cmd) cmd=$2; shift 2 ;;
     *) extra_args+=("$1"); shift ;;
   esac
 done
 
-python -m convtasnet_tpu.cli recipe \
-  --data-dir "$data" --work-dir "$work" \
-  --stage "$stage" --stop-stage "$stop_stage" \
-  --sample-rate "$sample_rate" --batch-size "$batch_size" \
-  --epochs "$epochs" --cal-sdr "$cal_sdr" \
-  --compute-dtype bfloat16 \
-  "${extra_args[@]}"
+recipe_stage() {  # recipe_stage <from> <to>
+  python -m convtasnet_tpu.cli recipe \
+    --data-dir "$data" --work-dir "$work" \
+    --stage "$1" --stop-stage "$2" \
+    --sample-rate "$sample_rate" --batch-size "$batch_size" \
+    --epochs "$epochs" --cal-sdr "$cal_sdr" \
+    --compute-dtype bfloat16 \
+    "${extra_args[@]}"
+}
+
+if [[ "$cmd" == "local" ]]; then
+  recipe_stage "$stage" "$stop_stage"
+else
+  # per-stage batch submission with captured logs (queue.pl-style)
+  mkdir -p "$work/logs"
+  for s in $(seq "$stage" "$stop_stage"); do
+    script="$work/logs/stage${s}.sh"
+    log="$work/logs/stage${s}.log"
+    { echo "#!/usr/bin/env bash"; echo "set -e"
+      echo "cd $(pwd)"
+      declare -f recipe_stage
+      echo "data=$(printf %q "$data"); work=$(printf %q "$work")"
+      echo "sample_rate=$sample_rate; batch_size=$batch_size"
+      echo "epochs=$epochs; cal_sdr=$cal_sdr"
+      echo "extra_args=(${extra_args[*]@Q})"
+      echo "recipe_stage $s $s"
+    } > "$script"
+    chmod +x "$script"
+    render=${cmd//'{script}'/$script}
+    render=${render//'{log}'/$log}
+    echo "[run.sh] stage $s via: $render"
+    eval "$render"
+  done
+fi
 
 # render the loss curves (visdom-equivalent)
 hist=$(find "$work/exp" -name history.jsonl | head -1 || true)

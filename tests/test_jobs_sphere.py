@@ -68,3 +68,30 @@ def test_read_sphere_shorten_garbage_payload_rejected(tmp_path):
     _write_sphere(p, x, coding="pcm,embedded-shorten-v2.00")
     with pytest.raises(ValueError, match="magic"):
         read_wav(p)  # payload is raw PCM, not a shorten stream
+
+
+def test_submit_local_and_template(tmp_path):
+    from convtasnet_tpu.utils.jobs import JobError, submit, submit_jobs
+
+    log = str(tmp_path / "logs" / "ok.log")
+    assert submit("echo stage-done", log) == 0
+    assert "stage-done" in open(log).read()
+
+    # a blocking scheduler template (degenerate local scheduler)
+    log2 = str(tmp_path / "logs" / "tpl.log")
+    assert submit("echo via-template", log2,
+                  cmd_template="bash {script} > {log} 2>&1") == 0
+    assert "via-template" in open(log2).read()
+    assert os.path.exists(log2 + ".sh")  # submitted script written
+
+    # failure propagation names the log
+    with pytest.raises(JobError, match="bad.log"):
+        submit("exit 3", str(tmp_path / "logs" / "bad.log"),
+               cmd_template="bash {script} > {log} 2>&1")
+
+    # array submission with JOB substitution
+    logs = str(tmp_path / "logs" / "arr.JOB.log")
+    codes = submit_jobs("echo job-JOB", 3, logs,
+                        cmd_template="bash {script} > {log} 2>&1")
+    assert codes == [0, 0, 0]
+    assert "job-2" in open(str(tmp_path / "logs" / "arr.2.log")).read()
