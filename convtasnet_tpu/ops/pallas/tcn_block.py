@@ -19,25 +19,43 @@ true K):
   pass 2   normalize h_buf in place (gLN: global stats; cLN: per-row, done
            inline in pass 1; BN: running stats, inline)
   pass 3   per K-tile: dilated depthwise conv (reads resident h_buf at
-           ±dilation, causal = left taps only) → PReLU → h2_buf, accumulate
-           second-norm stats
-  pass 4   normalize h2 tile → (h2 @ W_out) + x → out
+           ±dilation, causal = left taps only) → PReLU →
+           - cLN/BN: normalize inline → (y @ W_out) + x → out (done)
+           - gLN, store_h2: stats + park y in a second [Kp, H] scratch
+           - gLN, recompute: accumulate Σy, Σy² only (y is NOT stored)
+  pass 4   (gLN only) normalize y — re-read from the scratch (store_h2) or
+           recomputed from h_buf — with the pass-3 stats → (y @ W_out) + x
+
+The two gLN strategies trade a [Kp, H] VMEM scratch against recomputing the
+cheap VPU dwconv once; which is faster varies by dilation on real hardware
+(scripts/bench_block.py), so ``probe_fused_block`` autotunes: it compiles
+both variants AND the XLA block per dilation, races them on-device, and
+records the winner in a registry that ``fused_block_ready`` consults at
+trace time. The probe doubles as the resilience layer: any Mosaic compile
+failure (e.g. transient HTTP 500s from a remote compile service) is retried
+and then that variant is skipped, so one bad compile degrades a single
+block to XLA instead of failing the whole model's jit.
 
 All matmuls accumulate in float32 on the MXU (``preferred_element_type``);
 activations live in VMEM as bf16. Norm numerics match ``ops/norm.py``
 exactly (eps added to biased variance).
 
-The kernel is inference-path (forward) only; training uses the XLA path
-(autodiff through the fused kernel via custom_vjp is future work).
+Training support: ``fused_tcn_block_ad`` wraps the kernel in a
+``jax.custom_vjp`` whose backward *recomputes* the block through the shared
+XLA math (``models/functional.block_forward``) and differentiates that — the
+rematerialization pattern: only the block *input* is saved as a residual
+(vs XLA autodiff keeping several [K, H] intermediates per block in HBM), at
+the cost of one extra fused forward in the backward pass. Forward stays the
+single Pallas kernel.
 
-Status note: measured 0.184 ms/block on v5e at the paper shapes
-([8, 3199] x B=256/H=512) vs 0.206 ms for the XLA ops path. Under this
-image's tunneled remote-compile service the Mosaic build is flaky for some
-dilation values (d in {1, 2, 4, 64, 128} intermittently 500s while
-8/16/32 compile fine — no consistent alignment pattern, so it appears to be
-a compile-service issue rather than a kernel one; interpret mode and CPU
-lowering pass for every configuration). ``cfg.use_pallas`` therefore stays
-opt-in until the toolchain stabilizes.
+VMEM note: the kernel declares a large ``vmem_limit_bytes`` so XLA's
+memory-space assignment never tries to home the kernel's whole [M, Kp, B]
+output in VMEM next to the kernel's working set — that interaction OOM'd
+the compile for a dilation-dependent subset at the paper shapes (round 1
+misread those failures as compile-service flakiness).
+
+Measured on v5e at the paper shapes ([8, 3199] x B=256/H=512, gLN): XLA
+block ~0.19-0.25 ms; best fused variant 0.10-0.20 ms depending on dilation.
 """
 
 from __future__ import annotations
@@ -73,14 +91,14 @@ def _kernel(
     scal_ref,   # [1, 2] SMEM f32: prelu slopes a1, a2
     out_ref,    # [1, Kp, B]
     h_buf,      # VMEM [L + Kp + R, H] bf16 scratch (halo for dilated conv)
-    h2_buf,     # VMEM [Kp, H] bf16 scratch
-    *,
+    *scratch,   # (h2_buf [Kp, H],) when store_h2 (gLN only)
     K: int,
     tile: int,
     dilation: int,
     conv_kernel: int,
     causal: bool,
     norm_type: str,
+    store_h2: bool = True,
 ):
     # Tile loops are unrolled in Python (n_tiles is small, <= 4 at the
     # default tile) so Mosaic can software-pipeline across tiles; the
@@ -96,11 +114,13 @@ def _kernel(
     a2 = scal_ref[0, 1]
     inv_n = 1.0 / (K * H)
 
-    # zero the halo regions once (static sizes)
-    if left > 0:
-        h_buf[:left, :] = jnp.zeros((left, H), h_buf.dtype)
-    if right > 0:
-        h_buf[left + Kp:, :] = jnp.zeros((right, H), h_buf.dtype)
+    # zero the halo regions once (static sizes). For gLN the halo is
+    # re-filled after pass 1 (see the norm-folding note there).
+    if norm_type != "gLN":
+        if left > 0:
+            h_buf[:left, :] = jnp.zeros((left, H), h_buf.dtype)
+        if right > 0:
+            h_buf[left + Kp:, :] = jnp.zeros((right, H), h_buf.dtype)
 
     w_in = w_in_ref[:]
 
@@ -131,59 +151,103 @@ def _kernel(
             h = maybe_mask(affine(h, 0, 1), k0)
         h_buf[pl.ds(left + k0, tile), :] = h.astype(h_buf.dtype)
 
-    # ---- pass 2: gLN normalization of h_buf in place ----
+    # ---- pass 2 (folded into pass 3 for gLN) ----
+    # gLN's affine normalize is elementwise per channel and the depthwise
+    # conv is linear, so norm1 folds into the conv instead of a full
+    # read-modify-write of h_buf:
+    #   dwconv(s*h + b)[k] = sum_p (w_p*s) h[k+pd] + b * sum_p w_p
+    # with s = rsqrt(var)*gamma and b = beta - mean*s (per channel). h_buf
+    # keeps RAW pass-1 activations; halo and tail-padding rows are filled
+    # with c = -b/s — the value that normalizes to 0 — so out-of-range taps
+    # contribute exactly what zero padding contributes in the unfused math.
+    dw = dw_ref[:].astype(jnp.float32)
+    w_out = w_out_ref[:]
     if norm_type == "gLN":
         mean1 = s1 * inv_n
         rs1 = jax.lax.rsqrt(s2 * inv_n - mean1 * mean1 + EPS)
-        for t in range(n_tiles):
-            k0 = t * tile
-            h = h_buf[pl.ds(left + k0, tile), :].astype(jnp.float32)
-            h = maybe_mask(affine((h - mean1) * rs1, 0, 1), k0)
-            h_buf[pl.ds(left + k0, tile), :] = h.astype(h_buf.dtype)
+        s_vec = rs1 * aff_ref[0:1, :]              # [1, H]
+        b_vec = aff_ref[1:2, :] - mean1 * s_vec
+        c_fill = jnp.where(s_vec != 0, -b_vec / jnp.where(s_vec != 0, s_vec, 1.0), 0.0)
+        dw_eff = dw * s_vec                         # fold scale into taps
+        bias = b_vec * jnp.sum(dw, axis=0, keepdims=True)
+        if left > 0:
+            h_buf[:left, :] = jnp.broadcast_to(c_fill, (left, H)).astype(h_buf.dtype)
+        if right > 0 or Kp > K:
+            n_pad = right + (Kp - K)
+            h_buf[left + K:, :] = jnp.broadcast_to(
+                c_fill, (n_pad, H)).astype(h_buf.dtype)
+    else:
+        dw_eff = dw
+        bias = None
 
-    # ---- pass 3: dilated depthwise conv + PReLU, stats ----
-    s3 = jnp.float32(0.0)
-    s4 = jnp.float32(0.0)
-    dw = dw_ref[:].astype(jnp.float32)
-    for t in range(n_tiles):
-        k0 = t * tile
-        # logical out row r reads h[r + p*dilation - left]; h_buf stores
-        # logical row r at index left + r  =>  read offset k0 + p*dilation.
-        acc = None
+    # ---- pass 3 (+4): dilated depthwise conv + PReLU ----
+    # logical out row r reads h[r + p*dilation - left]; h_buf stores
+    # logical row r at index left + r  =>  read offset k0 + p*dilation.
+    def dwconv_prelu_tile(k0):
+        acc = bias
         for p in range(P):
             seg = h_buf[pl.ds(k0 + p * dilation, tile), :].astype(jnp.float32)
-            term = seg * dw[p:p + 1, :]
+            term = seg * dw_eff[p:p + 1, :]
             acc = term if acc is None else acc + term
-        y = jnp.where(acc >= 0, acc, a2 * acc)
-        y = maybe_mask(y, k0)
-        if norm_type == "gLN":
-            s3 += jnp.sum(y)
-            s4 += jnp.sum(y * y)
-        elif norm_type == "cLN":
-            mean = jnp.mean(y, axis=1, keepdims=True)
-            var = jnp.mean(y * y, axis=1, keepdims=True) - mean * mean
-            y = maybe_mask(affine((y - mean) * jax.lax.rsqrt(var + EPS), 2, 3), k0)
-        else:
-            y = (y - aff_ref[6:7, :]) * jax.lax.rsqrt(aff_ref[7:8, :] + BN_EPS)
-            y = maybe_mask(affine(y, 2, 3), k0)
-        h2_buf[pl.ds(k0, tile), :] = y.astype(h2_buf.dtype)
+        return jnp.where(acc >= 0, acc, a2 * acc)
 
-    if norm_type == "gLN":
-        mean2 = s3 * inv_n
-        rs2 = jax.lax.rsqrt(s4 * inv_n - mean2 * mean2 + EPS)
-
-    w_out = w_out_ref[:]
-
-    # ---- pass 4: (gLN) normalize + out matmul + residual ----
-    for t in range(n_tiles):
-        k0 = t * tile
-        y = h2_buf[pl.ds(k0, tile), :].astype(jnp.float32)
-        if norm_type == "gLN":
-            y = maybe_mask(affine((y - mean2) * rs2, 2, 3), k0)
+    def emit_tile(y, k0):
         out = jnp.dot(y.astype(w_out.dtype), w_out,
                       preferred_element_type=jnp.float32)
         x = x_ref[0, pl.ds(k0, tile), :]
         out_ref[0, pl.ds(k0, tile), :] = x + out.astype(x.dtype)
+
+    if norm_type == "gLN" and store_h2:
+        # conv output parked in a second [Kp, H] scratch between the stats
+        # and normalize+matmul passes (fastest when VMEM allows it)
+        h2_buf = scratch[0]
+        s3 = jnp.float32(0.0)
+        s4 = jnp.float32(0.0)
+        for t in range(n_tiles):
+            k0 = t * tile
+            y = maybe_mask(dwconv_prelu_tile(k0), k0)
+            s3 += jnp.sum(y)
+            s4 += jnp.sum(y * y)
+            h2_buf[pl.ds(k0, tile), :] = y.astype(h2_buf.dtype)
+        mean2 = s3 * inv_n
+        rs2 = jax.lax.rsqrt(s4 * inv_n - mean2 * mean2 + EPS)
+        for t in range(n_tiles):
+            k0 = t * tile
+            y = h2_buf[pl.ds(k0, tile), :].astype(jnp.float32)
+            y = maybe_mask(affine((y - mean2) * rs2, 2, 3), k0)
+            emit_tile(y, k0)
+    elif norm_type == "gLN":
+        # recompute variant: stats pass over the (not stored) conv output,
+        # then a second pass that recomputes it — trades 2P VPU FMAs/element
+        # for the whole [Kp, H] scratch (for VMEM-tight shapes)
+        s3 = jnp.float32(0.0)
+        s4 = jnp.float32(0.0)
+        for t in range(n_tiles):
+            k0 = t * tile
+            y = maybe_mask(dwconv_prelu_tile(k0), k0)
+            s3 += jnp.sum(y)
+            s4 += jnp.sum(y * y)
+        mean2 = s3 * inv_n
+        rs2 = jax.lax.rsqrt(s4 * inv_n - mean2 * mean2 + EPS)
+        for t in range(n_tiles):
+            k0 = t * tile
+            y = maybe_mask(dwconv_prelu_tile(k0), k0)
+            y = maybe_mask(affine((y - mean2) * rs2, 2, 3), k0)
+            emit_tile(y, k0)
+    else:
+        for t in range(n_tiles):
+            k0 = t * tile
+            y = maybe_mask(dwconv_prelu_tile(k0), k0)
+            if norm_type == "cLN":
+                mean = jnp.mean(y, axis=1, keepdims=True)
+                var = jnp.mean(y * y, axis=1, keepdims=True) - mean * mean
+                y = maybe_mask(
+                    affine((y - mean) * jax.lax.rsqrt(var + EPS), 2, 3), k0)
+            else:
+                y = (y - aff_ref[6:7, :]) * jax.lax.rsqrt(
+                    aff_ref[7:8, :] + BN_EPS)
+                y = maybe_mask(affine(y, 2, 3), k0)
+            emit_tile(y, k0)
 
 
 def fused_tcn_block(
@@ -202,8 +266,14 @@ def fused_tcn_block(
     bn_stats: Optional[Tuple[jax.Array, ...]] = None,
     tile: int = 1600,
     interpret: bool = False,
+    store_h2: Optional[bool] = None,
 ) -> jax.Array:
-    """Fused forward of one TCN block. Returns [M, K, B] (same dtype as x)."""
+    """Fused forward of one TCN block. Returns [M, K, B] (same dtype as x).
+
+    ``store_h2``: for gLN, park the conv output in a second [Kp, H] scratch
+    (faster) vs recompute it in the normalize pass (smaller VMEM footprint).
+    None = auto: store while the kernel's working set stays under ~12 MB.
+    """
     M, K, B = x.shape
     H = w_in.shape[1]
     P = dw.shape[0]
@@ -227,9 +297,14 @@ def fused_tcn_block(
     scal = jnp.reshape(jnp.stack([a1, a2]).astype(jnp.float32), (1, 2))
 
     cdtype = x.dtype
+    if store_h2 is None:
+        # working set: pipelined in/out blocks (2x2 KpxB) + h_buf + h2 + weights
+        footprint = (4 * Kp * B + (left + Kp + right) * H + Kp * H) * 2 \
+            + 2 * B * H * jnp.dtype(cdtype).itemsize
+        store_h2 = footprint < 12 * 1024 * 1024
     kernel = functools.partial(
         _kernel, K=K, tile=tile, dilation=dilation, conv_kernel=P,
-        causal=causal, norm_type=norm_type)
+        causal=causal, norm_type=norm_type, store_h2=store_h2)
     flops = 2 * M * Kp * B * H * 2 + M * Kp * H * (2 * P + 20)
     out = pl.pallas_call(
         kernel,
@@ -246,17 +321,322 @@ def fused_tcn_block(
         out_specs=pl.BlockSpec((1, Kp, B), lambda m: (m, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, Kp, B), cdtype),
-        scratch_shapes=[
-            pltpu.VMEM((left + Kp + right, H), jnp.bfloat16),
-            pltpu.VMEM((Kp, H), jnp.bfloat16),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((left + Kp + right, H), jnp.bfloat16)]
+            + ([pltpu.VMEM((Kp, H), jnp.bfloat16)]
+               if (norm_type == "gLN" and store_h2) else [])
+        ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=2 * M * Kp * B * 2 + (B * H + H * B + 8 * H) * 4,
             transcendentals=0),
+        # Declare a high VMEM budget: XLA's memory-space assignment otherwise
+        # tries to home the kernel's whole [M, Kp, B] output in VMEM next to
+        # the kernel's own ~10 MB working set and fails the compile ("Ran out
+        # of memory in memory space vmem ... allocating on stack") — observed
+        # for a dilation-dependent subset at the paper shapes. The declared
+        # budget keeps MSA out of scoped vmem; actual kernel usage is ~10 MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x.astype(cdtype), w_in.astype(cdtype), dw.astype(cdtype),
       w_out.astype(cdtype), aff, scal)
     if Kp != K:
         out = out[:, :K, :]
     return out
+
+
+# --------------------------------------------------------------------------
+# Differentiable wrapper: Pallas forward + recompute-through-XLA backward.
+# --------------------------------------------------------------------------
+
+def _xla_block(static, x, w_in, dw, w_out, a1, a2,
+               g1, b1, g2, b2, m1, v1, m2, v2):
+    """The same block through the shared XLA math (models/functional) —
+    used to take gradients in the custom VJP backward."""
+    dilation, causal, norm_type = static[:3]
+    from convtasnet_tpu.models.functional import block_forward
+    from convtasnet_tpu.ops.conv import depthwise_conv1d
+    from convtasnet_tpu.ops.norm import (
+        batch_norm,
+        channelwise_layer_norm,
+        global_layer_norm,
+    )
+
+    def make_norm(g, b, m, v):
+        def norm(h):
+            hf = h.astype(jnp.float32)
+            if norm_type == "gLN":
+                out = global_layer_norm(hf, g, b)
+            elif norm_type == "cLN":
+                out = channelwise_layer_norm(hf, g, b)
+            else:
+                out = batch_norm(hf, g, b, m, v)
+            return out.astype(h.dtype)
+
+        return norm
+
+    blk = {"conv1x1": w_in, "prelu1": a1, "dwconv": dw,
+           "prelu2": a2, "pwconv": w_out}
+    return block_forward(
+        blk, x,
+        dwconv=lambda h, w: depthwise_conv1d(h, w, dilation, causal),
+        norm1=make_norm(g1, b1, m1, v1),
+        norm2=make_norm(g2, b2, m2, v2),
+    )
+
+
+def _pallas_forward(static, x, w_in, dw, w_out, a1, a2,
+                    g1, b1, g2, b2, m1, v1, m2, v2):
+    dilation, causal, norm_type, tile, interpret, store_h2 = static
+    bn_stats = (m1, v1, m2, v2) if norm_type == "BN" else None
+    return fused_tcn_block(
+        x, w_in, dw, w_out, a1, a2, g1, b1, g2, b2,
+        dilation=dilation, causal=causal, norm_type=norm_type,
+        bn_stats=bn_stats, tile=tile, interpret=interpret,
+        store_h2=store_h2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_block_ad(static, x, w_in, dw, w_out, a1, a2,
+                    g1, b1, g2, b2, m1, v1, m2, v2):
+    return _pallas_forward(static, x, w_in, dw, w_out, a1, a2,
+                           g1, b1, g2, b2, m1, v1, m2, v2)
+
+
+def _fused_block_fwd(static, *args):
+    # Residuals are just the block inputs: the backward rematerializes the
+    # intermediates instead of storing them (jax.checkpoint semantics).
+    return _fused_block_ad(static, *args), args
+
+
+def _fused_block_bwd(static, residuals, g):
+    _, vjp = jax.vjp(lambda *a: _xla_block(static, *a), *residuals)
+    return vjp(g)
+
+
+_fused_block_ad.defvjp(_fused_block_fwd, _fused_block_bwd)
+
+
+def fused_tcn_block_ad(
+    x, w_in, dw, w_out, a1, a2, gamma1, beta1, gamma2, beta2,
+    *,
+    dilation: int,
+    causal: bool,
+    norm_type: str,
+    bn_stats: Optional[Tuple[jax.Array, ...]] = None,
+    tile: int = 1600,
+    interpret: bool = False,
+    store_h2: Optional[bool] = None,
+):
+    """Differentiable fused block: Pallas forward, recompute-XLA backward.
+
+    Same signature/semantics as ``fused_tcn_block`` but safe under
+    ``jax.grad`` — usable on the training path.
+    """
+    static = (dilation, causal, norm_type, tile, interpret, store_h2)
+    H = w_in.shape[1]
+    if norm_type == "BN":
+        m1, v1, m2, v2 = [s.astype(jnp.float32) for s in bn_stats]
+    else:
+        zeros = jnp.zeros((H,), jnp.float32)
+        ones = jnp.ones((H,), jnp.float32)
+        m1, v1, m2, v2 = zeros, ones, zeros, ones
+    return _fused_block_ad(static, x, w_in, dw, w_out, a1, a2,
+                           gamma1, beta1, gamma2, beta2, m1, v1, m2, v2)
+
+
+# --------------------------------------------------------------------------
+# Per-dilation autotuning registry.
+# --------------------------------------------------------------------------
+
+# (dilation, norm_type, causal) -> "store" | "recompute" | None (=XLA).
+# Populated by probe_fused_block.
+_FUSED_READY: dict = {}
+
+
+def fused_block_ready(dilation: int, norm_type: str, causal: bool,
+                      interpret: bool):
+    """Trace-time gate: which fused variant (if any) may this block use?
+
+    Returns "store"/"recompute" to use the fused kernel with that scratch
+    strategy, or None for the XLA ops path. Interpret mode (CPU) always
+    returns "auto" (correctness testing — no Mosaic compile involved). On a
+    real backend a dilation is only enabled after ``probe_fused_block``
+    compiled AND timed it; an unprobed, failed, or slower-than-XLA dilation
+    falls back to the XLA path, so one bad Mosaic compile can't fail (or
+    slow) the whole model's jit.
+    """
+    if interpret:
+        return "auto"
+    return _FUSED_READY.get((dilation, norm_type, causal))
+
+
+def _time_compiled(fn, x, inner: int = 150, trials: int = 5) -> float:
+    """Median per-iteration seconds of ``fn`` chained ``inner`` times in one
+    jitted scan, RTT-subtracted (the relay to the real chip adds ~30 ms that
+    ``block_until_ready`` does not expose — always force via device_get).
+
+    ``inner`` must be large enough that the chained work (~inner * 0.2 ms)
+    dwarfs the relay's RTT jitter (several ms), or the subtraction returns
+    noise and the autotuner picks the wrong variant."""
+    import time as _time
+
+    def chain(x0):
+        def body(carry, _):
+            return fn(carry), jnp.float32(0)
+
+        final, _ = jax.lax.scan(body, x0, None, length=inner)
+        return jnp.sum(final)
+
+    f = jax.jit(chain)
+    triv = jax.jit(jnp.sum)
+    jax.device_get(triv(x))
+    rtts = []
+    for _ in range(trials):
+        t0 = _time.perf_counter()
+        jax.device_get(triv(x))
+        rtts.append(_time.perf_counter() - t0)
+    jax.device_get(f(x))
+    times = []
+    for _ in range(trials):
+        t0 = _time.perf_counter()
+        jax.device_get(f(x))
+        times.append(_time.perf_counter() - t0)
+    times.sort()
+    rtts.sort()
+    return max(times[len(times) // 2] - rtts[len(rtts) // 2], 1e-9) / inner
+
+
+def probe_fused_block(
+    dilations,
+    *,
+    K: int,
+    batch: int,
+    bottleneck: int,
+    hidden: int,
+    conv_kernel: int = 3,
+    norm_type: str = "gLN",
+    causal: bool = False,
+    dtype=jnp.bfloat16,
+    tile: int = 1600,
+    retries: int = 2,
+    verbose: bool = False,
+    interpret: bool = False,
+    autotune: bool = True,
+) -> dict:
+    """AOT-compile and time the fused kernel variants for each dilation;
+    record the fastest implementation (including "none — XLA wins") in the
+    registry.
+
+    Returns {dilation: "store" | "recompute" | None}. Compile failures
+    (e.g. transient HTTP 500s from a remote Mosaic compile service) are
+    retried ``retries`` times, then that variant is skipped; if no variant
+    compiles, the dilation degrades to the XLA ops path only. With
+    ``autotune`` the surviving variants race the XLA block on-device and
+    the fastest wins (per-dilation winners genuinely differ — see
+    scripts/bench_block.py). Probing is cheap relative to the full-model
+    compile and its kernels stay in the jit cache.
+    """
+    import numpy as _np
+
+    results = {}
+    rng = _np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, K, bottleneck)), dtype)
+    w_in = jnp.asarray(
+        rng.standard_normal((bottleneck, hidden)) / _np.sqrt(bottleneck), dtype)
+    dw = jnp.asarray(rng.standard_normal((conv_kernel, hidden)) * 0.1, dtype)
+    w_out = jnp.asarray(
+        rng.standard_normal((hidden, bottleneck)) / _np.sqrt(hidden), dtype)
+    gb = jnp.zeros((hidden,), jnp.float32)
+    g1 = gb + 1
+    a = jnp.asarray(0.25, jnp.float32)
+    bn = (gb, g1, gb, g1) if norm_type == "BN" else None
+
+    def xla_fn(d):
+        static = (d, causal, norm_type, tile, interpret)
+        return lambda xx: _xla_block(static, xx, w_in, dw, w_out, a, a,
+                                     g1, gb, g1, gb, gb, g1, gb, g1)
+
+    variants = [("store", True), ("recompute", False)]
+    if norm_type != "gLN":
+        variants = [("store", True)]  # store_h2 only affects the gLN path
+
+    for d in sorted(set(int(d) for d in dilations)):
+        compiled = {}
+        for name, store in variants:
+            fn = functools.partial(
+                fused_tcn_block, dilation=d, causal=causal,
+                norm_type=norm_type, bn_stats=bn, tile=tile,
+                interpret=interpret, store_h2=store)
+            err = None
+            for _ in range(retries + 1):
+                try:
+                    jax.jit(fn).lower(
+                        x, w_in, dw, w_out, a, a, g1, gb, g1, gb).compile()
+                    compiled[name] = (
+                        lambda xx, _fn=fn: _fn(xx, w_in, dw, w_out, a, a,
+                                               g1, gb, g1, gb))
+                    err = None
+                    break
+                except Exception as e:  # noqa: BLE001 — any compile failure
+                    err = e
+            if err is not None and verbose:
+                import sys as _sys
+
+                print(f"pallas probe d={d} {name}: compile failed "
+                      f"({type(err).__name__})", file=_sys.stderr)
+        if not compiled:
+            best = None
+        elif autotune and not interpret:
+            timed = {"xla": _time_compiled(xla_fn(d), x)}
+            for name, fn in compiled.items():
+                timed[name] = _time_compiled(fn, x)
+            best = min(timed, key=timed.get)
+            if best == "xla":
+                best = None
+            if verbose:
+                import sys as _sys
+
+                detail = " ".join(
+                    f"{k}={v * 1e3:.3f}ms" for k, v in sorted(timed.items()))
+                print(f"pallas probe d={d}: best="
+                      f"{best or 'xla'} ({detail})", file=_sys.stderr)
+        else:
+            best = next(iter(compiled))
+            if verbose:
+                import sys as _sys
+
+                print(f"pallas probe d={d}: {best} compiled",
+                      file=_sys.stderr)
+        _FUSED_READY[(d, norm_type, causal)] = best
+        results[d] = best
+    return results
+
+
+def probe_for_config(cfg, K: int, batch: int, verbose: bool = False) -> dict:
+    """Probe every dilation a ``ConvTasNetConfig`` model will use."""
+    return probe_fused_block(
+        [2 ** i for i in range(cfg.num_blocks)],
+        K=K, batch=batch, bottleneck=cfg.bottleneck, hidden=cfg.hidden,
+        conv_kernel=cfg.conv_kernel, norm_type=cfg.norm_type,
+        causal=cfg.causal, dtype=jnp.dtype(cfg.compute_dtype),
+        verbose=verbose)
+
+
+_PROBED_SHAPES: set = set()
+
+
+def ensure_probed(cfg, batch: int, T: int, verbose: bool = True) -> None:
+    """Probe all of ``cfg``'s dilations for a concrete [batch, T] input shape
+    (idempotent per shape). No-op on the CPU backend (interpret mode needs no
+    Mosaic compile). Call before jitting a model that has ``use_pallas``."""
+    if not cfg.use_pallas or jax.default_backend() == "cpu":
+        return
+    K = (T - cfg.kernel_size) // cfg.stride + 1
+    key = (batch, K, cfg.bottleneck, cfg.hidden, cfg.conv_kernel,
+           cfg.norm_type, cfg.causal, cfg.compute_dtype)
+    if key in _PROBED_SHAPES:
+        return
+    probe_for_config(cfg, K, batch, verbose=verbose)
+    _PROBED_SHAPES.add(key)
