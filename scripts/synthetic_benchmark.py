@@ -92,8 +92,9 @@ def main(argv=None) -> int:
     ap.add_argument("--speakers", type=int, default=2)
     ap.add_argument("--mask-nonlinear", default="relu")
     ap.add_argument("--steps-per-call", type=int, default=1)
+    ap.add_argument("--sample-rate", type=int, default=8000)
     a = ap.parse_args(argv)
-    sr = 8000
+    sr = a.sample_rate
 
     t0 = time.time()
     corpus = os.path.join(a.out, "data")

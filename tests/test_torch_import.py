@@ -110,3 +110,52 @@ def test_export_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(variables["params"]),
                     jax.tree_util.tree_leaves(variables2["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_export_import_roundtrip_paper_config(tmp_path):
+    """Full paper-config (8.7M-param) round trip through the reference
+    package format: native ckpt -> export-torch -> import-torch -> bitwise
+    weight equality and identical forward outputs."""
+    import jax
+
+    from convtasnet_tpu.config import SolverConfig
+    from convtasnet_tpu.models.conv_tasnet import init_params
+    from convtasnet_tpu.models.torch_import import export_to_torch
+    from convtasnet_tpu.train.checkpoint import (
+        load_params_for_inference,
+        save_checkpoint,
+    )
+    from convtasnet_tpu.train.train_step import create_train_state
+
+    cfg = ConvTasNetConfig()  # N=256 L=20 B=256 H=512 P=3 X=8 R=4 C=2 gLN
+    state, _ = create_train_state(cfg, SolverConfig(lr=1e-3),
+                                  jax.random.PRNGKey(11), 8000)
+    native = str(tmp_path / "native.ckpt")
+    save_checkpoint(native, state, cfg, epoch=7)
+
+    ref_pkg = str(tmp_path / "ref_style.pth.tar")
+    export_to_torch(native, ref_pkg)
+    # the package opens with plain torch, reference-style keys present
+    pkg = torch.load(ref_pkg, map_location="cpu", weights_only=False)
+    assert (pkg["N"], pkg["L"], pkg["B"], pkg["H"]) == (256, 20, 256, 512)
+    assert any(k.startswith("encoder.") for k in pkg["state_dict"])
+
+    back = str(tmp_path / "reimported.ckpt")
+    import_to_checkpoint(ref_pkg, back)
+    cfg2, variables2 = load_params_for_inference(back)
+    assert cfg2 == cfg
+
+    orig = jax.tree_util.tree_leaves({"params": jax.device_get(state.params)})
+    got = jax.tree_util.tree_leaves(
+        {"params": variables2["params"]})
+    assert len(orig) == len(got)
+    for a, b in zip(orig, got):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+
+    mix = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 8000)), jnp.float32)
+    model = ConvTasNet(cfg)
+    out_a = np.asarray(model.apply({"params": state.params}, mix))
+    out_b = np.asarray(model.apply(variables2, mix))
+    np.testing.assert_array_equal(out_a, out_b)
