@@ -9,9 +9,13 @@ with no external config (``load_model_from_package``,
 
 Implementation: msgpack (via flax.serialization) for the tensors with a JSON
 metadata header. Saves are atomic (tmp + rename) so a preempted write never
-corrupts the best-model file; loads restore exact dtypes/shapes. An
-orbax-based async path can layer on top later without changing the format
-consumers see.
+corrupts the best-model file; loads restore exact dtypes/shapes.
+
+An orbax backend is available behind the same API (``backend="orbax"`` on
+save; loads auto-detect): the checkpoint becomes a directory with an orbax
+PyTree store plus the same JSON metadata, for interop with the wider
+orbax/flax ecosystem (sharded/async multi-host saves). Every consumer
+(resume, evaluate, separate, export-torch) accepts either format.
 """
 
 from __future__ import annotations
@@ -42,6 +46,7 @@ def save_checkpoint(
     cv_loss=None,
     extra: Optional[Dict[str, Any]] = None,
     async_save: bool = False,
+    backend: str = "msgpack",
 ) -> None:
     """Write a self-describing checkpoint package atomically.
 
@@ -50,6 +55,9 @@ def save_checkpoint(
     thread, so the train loop never blocks on disk. Atomic tmp+rename makes
     an overlapping save never corrupt the previous file; call
     ``wait_for_saves()`` before relying on the file.
+
+    ``backend="orbax"`` writes an orbax PyTree store directory instead of
+    the single-file msgpack package (same metadata; loads auto-detect).
     """
     meta = {
         "format_version": 1,
@@ -62,7 +70,10 @@ def save_checkpoint(
     state_dict = serialization.to_state_dict(state)
     state_dict = jax.tree_util.tree_map(np.asarray, state_dict)
 
-    def _write():
+    if backend not in ("msgpack", "orbax"):
+        raise ValueError(f"unknown checkpoint backend: {backend}")
+
+    def _write_msgpack():
         payload = serialization.msgpack_serialize(state_dict)
         meta_bytes = json.dumps(meta).encode("utf-8")
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -73,6 +84,12 @@ def save_checkpoint(
             f.write(meta_bytes)
             f.write(payload)
         os.replace(tmp, path)
+
+    def _write():
+        if backend == "orbax":
+            _save_orbax(path, state_dict, meta)
+        else:
+            _write_msgpack()
 
     if not async_save:
         _write()
@@ -93,9 +110,37 @@ def wait_for_saves() -> None:
         _async_pool = None
 
 
+def _save_orbax(path: str, state_dict, meta) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, "state"), state_dict, force=True)
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def _load_orbax(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    import orbax.checkpoint as ocp
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        state_dict = ckptr.restore(os.path.join(os.path.abspath(path), "state"))
+    return state_dict, meta
+
+
 def load_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """-> (state_dict, meta). ``state_dict`` is a nested dict of numpy arrays;
-    restore into a template with ``restore_state``."""
+    restore into a template with ``restore_state``. Accepts either the
+    msgpack package file or an orbax checkpoint directory."""
+    if os.path.isdir(path):
+        if os.path.exists(os.path.join(path, "meta.json")):
+            return _load_orbax(path)
+        raise ValueError(f"not a checkpoint directory (no meta.json): {path}")
     with open(path, "rb") as f:
         magic = f.read(8)
         if magic != MAGIC:

@@ -221,3 +221,40 @@ def test_solver_steps_per_call(tmp_path):
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_orbax_checkpoint_backend_roundtrip(tmp_path):
+    """backend='orbax' writes a directory store; loads auto-detect and
+    return state/meta identical to the msgpack package."""
+    import jax
+
+    from convtasnet_tpu.config import ConvTasNetConfig, SolverConfig
+    from convtasnet_tpu.train.checkpoint import (
+        load_checkpoint,
+        load_params_for_inference,
+        save_checkpoint,
+    )
+    from convtasnet_tpu.train.train_step import create_train_state
+
+    cfg = ConvTasNetConfig(
+        n_filters=16, kernel_size=8, bottleneck=12, hidden=24,
+        conv_kernel=3, num_blocks=2, num_repeats=1, num_speakers=2)
+    state, _ = create_train_state(cfg, SolverConfig(lr=1e-3),
+                                  jax.random.PRNGKey(3), 2000)
+    mp = str(tmp_path / "pkg.ckpt")
+    od = str(tmp_path / "orbax_ckpt")
+    save_checkpoint(mp, state, cfg, epoch=5, tr_loss=[1.0], cv_loss=[2.0])
+    save_checkpoint(od, state, cfg, epoch=5, tr_loss=[1.0], cv_loss=[2.0],
+                    backend="orbax")
+    sd_m, meta_m = load_checkpoint(mp)
+    sd_o, meta_o = load_checkpoint(od)
+    assert meta_o == meta_m
+    lm = jax.tree_util.tree_leaves(sd_m)
+    lo = jax.tree_util.tree_leaves(sd_o)
+    assert len(lm) == len(lo)
+    for a, b in zip(lm, lo):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # inference loader accepts the directory form
+    cfg2, variables = load_params_for_inference(od)
+    assert cfg2 == cfg
+    assert "params" in variables
