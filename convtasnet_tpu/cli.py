@@ -221,6 +221,15 @@ def cmd_separate(a) -> int:
     return 0
 
 
+def cmd_stream_demo(a) -> int:
+    from convtasnet_tpu.infer.stream_demo import stream_demo
+
+    stats = stream_demo(a.model_path, a.wav, a.chunk_ms, a.out_dir,
+                        realtime=bool(a.realtime))
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_export_torch(a) -> int:
     from convtasnet_tpu.models.torch_import import export_to_torch
 
@@ -281,7 +290,27 @@ def cmd_recipe(a) -> int:
     return 0
 
 
+def _honor_jax_platforms_env() -> None:
+    """Make ``JAX_PLATFORMS=cpu convtasnet-tpu ...`` actually work.
+
+    Some environments pre-register an accelerator plugin from
+    ``sitecustomize`` and set ``jax.config.jax_platforms`` in the process,
+    after which the environment variable is silently ignored. Re-assert the
+    user's env choice before the first backend initialization.
+    """
+    plat = os.environ.get("JAX_PLATFORMS")
+    if not plat:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", plat)
+    except Exception:
+        pass  # backend already initialized (library use); leave it be
+
+
 def main(argv=None) -> int:
+    _honor_jax_platforms_env()
     parser = argparse.ArgumentParser(
         prog="convtasnet-tpu",
         description="TPU-native Conv-TasNet speech separation framework")
@@ -334,6 +363,15 @@ def main(argv=None) -> int:
     p.add_argument("--sequence-parallel", type=int, default=0,
                    help="shard each mixture's time axis over all devices")
     p.set_defaults(fn=cmd_separate)
+
+    p = sub.add_parser("stream-demo",
+                       help="real-time chunked separation with latency stats")
+    p.add_argument("--model-path", required=True, help="causal checkpoint")
+    p.add_argument("--wav", required=True)
+    p.add_argument("--chunk-ms", type=float, default=8.0)
+    p.add_argument("--out-dir", default=None)
+    p.add_argument("--realtime", type=int, default=0)
+    p.set_defaults(fn=cmd_stream_demo)
 
     p = sub.add_parser("import-torch", help="convert a reference checkpoint")
     p.add_argument("--torch-path", required=True)

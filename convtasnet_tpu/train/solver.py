@@ -56,6 +56,19 @@ class Solver:
         self.cfg = cfg
         self.tr_loader = tr_loader
         self.cv_loader = cv_loader
+        # Fail fast on empty loaders: an empty cv silently scores 0.0 every
+        # epoch, which reads as "no improvement" and early-stops training
+        # (observed when a sample-rate mismatch made cv_maxlen drop every
+        # utterance). An explicit error at startup beats a quiet bad run.
+        if len(tr_loader) == 0:
+            raise ValueError(
+                "training loader is empty — no utterances survived batch "
+                "planning (check segment length vs utterance lengths and "
+                "sample_rate)")
+        if len(cv_loader) == 0:
+            raise ValueError(
+                "cv loader is empty — every utterance was dropped (check "
+                "cv_maxlen vs utterance lengths and sample_rate)")
         self.mesh = mesh
         s = cfg.solver
         self.logger = logger or MetricsLogger(

@@ -117,6 +117,7 @@ def main(argv=None) -> int:
         "--N", str(a.N), "--H", str(a.H), "--B", str(a.B),
         "--X", str(a.X), "--R", str(a.R), "--C", str(a.speakers),
         "--mask-nonlinear", a.mask_nonlinear,
+        "--sample-rate", str(sr),
         "--segment", str(a.segment), "--batch-size", str(a.batch_size),
         "--epochs", str(a.epochs), "--lr", str(a.lr),
         "--print-freq", "5", "--compute-dtype", "bfloat16",

@@ -174,3 +174,24 @@ def test_interruption_inside_steps_per_call_group(tmp_path):
     assert stepped["n"] == 0  # buffered batches were dropped, not trained
     assert os.path.exists(os.path.join(str(tmp_path / "exp"),
                                        "preempted.ckpt"))
+
+
+def test_empty_loaders_fail_fast(tmp_path):
+    """An empty cv loader silently scores 0.0 per epoch and early-stops the
+    run (the 16 kHz sample-rate-mismatch failure mode); Solver must refuse
+    to start instead."""
+    import pytest
+
+    cfg = TrainConfig(
+        model=TINY, data=DataConfig(segment=0.1, batch_size=2),
+        solver=SolverConfig(epochs=1, lr=1e-3, print_freq=1000,
+                            save_folder=str(tmp_path / "exp")))
+
+    class Empty(FakeLoader):
+        def __init__(self):
+            self.batches = []
+
+    with pytest.raises(ValueError, match="cv loader is empty"):
+        Solver(cfg, FakeLoader(), Empty())
+    with pytest.raises(ValueError, match="training loader is empty"):
+        Solver(cfg, Empty(), FakeLoader())

@@ -1,6 +1,8 @@
 """Streaming separator tests: exact equivalence with the batch causal model
 under arbitrary chunking, state carry correctness, and the gLN guard."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -124,3 +126,53 @@ def test_stream_scan_matches_stepwise():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(stream_flush(cfg, final)),
                                want_tail, rtol=1e-4, atol=1e-5)
+
+
+def test_stream_demo_end_to_end(tmp_path):
+    """The serving demo: chunked separation with latency stats; output
+    matches the batch causal forward on the same (padded) input."""
+    import json as _json
+
+    from convtasnet_tpu.config import ConvTasNetConfig, SolverConfig
+    from convtasnet_tpu.data.audio_io import read_wav, write_wav
+    from convtasnet_tpu.infer.stream_demo import stream_demo
+    from convtasnet_tpu.models.conv_tasnet import ConvTasNet
+    from convtasnet_tpu.train.checkpoint import save_checkpoint
+    from convtasnet_tpu.train.train_step import create_train_state
+
+    cfg = ConvTasNetConfig(
+        n_filters=32, kernel_size=16, bottleneck=24, hidden=48,
+        conv_kernel=3, num_blocks=3, num_repeats=2, num_speakers=2,
+        causal=True, norm_type="cLN")
+    state, _ = create_train_state(cfg, SolverConfig(lr=1e-3),
+                                  jax.random.PRNGKey(0), 4000)
+    ckpt = str(tmp_path / "causal.ckpt")
+    save_checkpoint(ckpt, state, cfg, epoch=0)
+
+    rng = np.random.default_rng(0)
+    T = 6000
+    x = (0.3 * np.sin(2 * np.pi * 440 * np.arange(T) / 8000)
+         + 0.1 * rng.standard_normal(T)).astype(np.float32)
+    wav = str(tmp_path / "mix.wav")
+    write_wav(wav, x, 8000)
+
+    out_dir = str(tmp_path / "sep")
+    stats = stream_demo(ckpt, wav, chunk_ms=20.0, out_dir=out_dir)
+    for k in ("p50_ms", "p99_ms", "rtf", "deadline_met", "latency_ms"):
+        assert k in stats
+    assert stats["chunk_ms"] == 20.0  # 160 samples = whole hops at L=16
+    y1, sr = read_wav(os.path.join(out_dir, "mix_s1.wav"))
+    assert sr == 8000 and len(y1) == T
+
+    # batch-forward consistency (same padding convention as the stream)
+    x_file, _ = read_wav(wav)  # PCM16-quantized signal the demo actually saw
+    hop = cfg.stride
+    pad = cfg.kernel_size - hop
+    model = ConvTasNet(cfg)
+    sd, meta = __import__("convtasnet_tpu.train.checkpoint",
+                          fromlist=["load_checkpoint"]).load_checkpoint(ckpt)
+    variables = {"params": sd["params"]}
+    want = np.asarray(model.apply(
+        variables, jnp.pad(jnp.asarray(x_file)[None, :], ((0, 0), (pad, 0)))
+    ))[0, 0, :T]
+    np.testing.assert_allclose(y1, want, atol=2e-3)  # PCM16 write + float
