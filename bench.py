@@ -30,10 +30,18 @@ INNER = 10
 def main(batch_size: int = 8, seconds: float = 4.0, trials: int = 5) -> None:
     from convtasnet_tpu.config import ConvTasNetConfig
     from convtasnet_tpu.models.conv_tasnet import ConvTasNet, init_params
+    from convtasnet_tpu.ops.pallas.tcn_block import ensure_probed
 
     sr = 8000
     T = int(seconds * sr)
-    cfg = ConvTasNetConfig(compute_dtype="bfloat16")
+    # Fused Pallas TCN blocks on: each dilation is AOT-probed and autotuned
+    # first (any variant that fails to compile or loses the on-device race
+    # degrades that block to XLA — the bench cannot be broken by a flaky
+    # Mosaic compile, only slowed).
+    cfg = ConvTasNetConfig(
+        compute_dtype="bfloat16",
+        use_pallas=jax.default_backend() != "cpu")
+    ensure_probed(cfg, batch_size, T, verbose=True)
     model = ConvTasNet(cfg)
     variables = init_params(cfg, jax.random.PRNGKey(0), example_len=T)
     params = variables["params"]

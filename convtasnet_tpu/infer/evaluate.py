@@ -26,6 +26,19 @@ from convtasnet_tpu.models.conv_tasnet import ConvTasNet
 from convtasnet_tpu.train.checkpoint import load_params_for_inference
 
 
+def _maybe_enable_pallas(cfg, use_pallas: Optional[bool]):
+    """Resolve the inference-time fused-kernel default: on for real
+    accelerator backends, off on CPU (where the XLA path is what the tests
+    pin down and interpret-mode Pallas is slower). Explicit True/False wins."""
+    import dataclasses
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    if use_pallas == cfg.use_pallas:
+        return cfg
+    return dataclasses.replace(cfg, use_pallas=use_pallas)
+
+
 def _masked_sisnr_batch(est, src, mix, lengths):
     """Per-utt SI-SNRi on device: mean-over-speakers SI-SNR of the PIT-aligned
     estimates minus the mixture baseline (parity: ``cal_SISNRi``,
@@ -61,9 +74,17 @@ def evaluate(
     max_batches: Optional[int] = None,
     pad_to_multiple: int = 8000,
     verbose: bool = True,
+    use_pallas: Optional[bool] = None,
 ) -> Dict[str, float]:
-    """-> {"si_snri": avg dB, "sdri": avg dB (if cal_sdr)}."""
+    """-> {"si_snri": avg dB, "sdri": avg dB (if cal_sdr)}.
+
+    ``use_pallas=None`` (default) enables the fused TCN kernels automatically
+    on a real accelerator backend: each batch shape is AOT-probed/autotuned
+    first (``ensure_probed``), so unsupported dilations degrade to XLA
+    instead of failing the jit.
+    """
     cfg, variables = load_params_for_inference(model_path)
+    cfg = _maybe_enable_pallas(cfg, use_pallas)
     model = ConvTasNet(cfg)
     ds = SeparationDataset(
         data_dir, batch_size, sample_rate, segment=-1.0,
@@ -81,6 +102,10 @@ def evaluate(
     n_batches = len(ds) if max_batches is None else min(len(ds), max_batches)
     for bi in range(n_batches):
         batch = ds.load_batch(bi, pad_to_multiple=pad_to_multiple)
+        if cfg.use_pallas:
+            from convtasnet_tpu.ops.pallas.tcn_block import ensure_probed
+
+            ensure_probed(cfg, batch.mixture.shape[0], batch.mixture.shape[1])
         est, si_snri = run(
             jnp.asarray(batch.mixture), jnp.asarray(batch.sources),
             jnp.asarray(batch.lengths))

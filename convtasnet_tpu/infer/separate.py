@@ -39,6 +39,7 @@ def separate(
     streaming: bool = False,
     chunk_seconds: float = 0.5,
     sequence_parallel: bool = False,
+    use_pallas: Optional[bool] = None,
 ) -> int:
     """Separate every mixture; returns the number of utterances written.
 
@@ -46,6 +47,9 @@ def separate(
     the batch forward — requires a causal (cLN/BN) checkpoint; this is the
     low-latency deployment path (``models/streaming.py``), exercised here
     offline for functional parity.
+
+    ``use_pallas=None`` auto-enables the fused TCN kernels on a real
+    accelerator backend (batch path only; probe-gated per dilation).
     """
     cfg, variables = load_params_for_inference(model_path)
     if streaming:
@@ -54,6 +58,9 @@ def separate(
     if sequence_parallel:
         return _separate_sequence_parallel(cfg, variables, out_dir, mix_dir,
                                            mix_json, sample_rate, write_mix)
+    from convtasnet_tpu.infer.evaluate import _maybe_enable_pallas
+
+    cfg = _maybe_enable_pallas(cfg, use_pallas)
     model = ConvTasNet(cfg)
     ds = EvalDataset(mix_dir=mix_dir, mix_json=mix_json,
                      batch_size=batch_size, sample_rate=sample_rate)
@@ -66,6 +73,10 @@ def separate(
     n_written = 0
     for bi in range(len(ds)):
         mixture, lengths, names = ds.load_batch(bi, pad_to_multiple=pad_to_multiple)
+        if cfg.use_pallas:
+            from convtasnet_tpu.ops.pallas.tcn_block import ensure_probed
+
+            ensure_probed(cfg, mixture.shape[0], mixture.shape[1])
         est = np.asarray(jax.device_get(run(jnp.asarray(mixture))))
         est_list = remove_pad(est, lengths)
         mix_list = remove_pad(mixture, lengths)

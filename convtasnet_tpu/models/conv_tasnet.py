@@ -186,20 +186,60 @@ class TemporalBlock(nn.Module):
         norm1 = Norm(cfg.norm_type, H, name="norm1")
         norm2 = Norm(cfg.norm_type, H, name="norm2")
 
-        if cfg.use_pallas and not train and x.ndim == 3:
-            # Fused single-kernel block (inference path, ops/pallas/tcn_block.py)
-            from convtasnet_tpu.ops.pallas.tcn_block import fused_tcn_block
+        if (cfg.use_pallas and train and x.ndim == 3
+                and cfg.norm_type == "gLN"):
+            # Fused training path: Pallas forward + single-kernel fused
+            # backward (ops/pallas/tcn_block_bwd.py). Gated per dilation on
+            # BOTH probe registries — a dilation whose backward lost the
+            # on-device race (or never compiled) keeps plain XLA autodiff.
+            from convtasnet_tpu.ops.pallas.tcn_block import (
+                fused_block_bwd_ready,
+                fused_block_ready,
+                fused_tcn_block_ad,
+            )
 
-            bn_stats = None
-            if cfg.norm_type == "BN":
-                bn_stats = (norm1.ra_mean.value, norm1.ra_var.value,
-                            norm2.ra_mean.value, norm2.ra_var.value)
-            return fused_tcn_block(
-                x, w_in, w_dw, w_out, a1, a2,
-                norm1.gamma, norm1.beta, norm2.gamma, norm2.beta,
-                dilation=self.dilation, causal=cfg.causal,
-                norm_type=cfg.norm_type, bn_stats=bn_stats,
-                interpret=jax.default_backend() == "cpu")
+            interpret = jax.default_backend() == "cpu"
+            fwd_variant = fused_block_ready(
+                self.dilation, cfg.norm_type, cfg.causal, interpret)
+            bwd_variant = fused_block_bwd_ready(
+                self.dilation, cfg.causal, interpret)
+            if fwd_variant is not None and bwd_variant is not None:
+                store_h2 = (None if fwd_variant == "auto"
+                            else fwd_variant == "store")
+                return fused_tcn_block_ad(
+                    x, w_in, w_dw, w_out, a1, a2,
+                    norm1.gamma, norm1.beta, norm2.gamma, norm2.beta,
+                    dilation=self.dilation, causal=cfg.causal,
+                    norm_type=cfg.norm_type, store_h2=store_h2,
+                    bwd=bwd_variant, interpret=interpret)
+
+        if cfg.use_pallas and not train and x.ndim == 3:
+            # Fused single-kernel block (inference path, ops/pallas/tcn_block.py).
+            # The trace-time gate consults the per-dilation autotune registry
+            # populated by ensure_probed/probe_fused_block: a dilation that
+            # failed to compile (or lost the on-device race to XLA) returns
+            # None here and this block alone degrades to the XLA ops path —
+            # one bad Mosaic compile can't fail the whole model's jit.
+            from convtasnet_tpu.ops.pallas.tcn_block import (
+                fused_block_ready,
+                fused_tcn_block,
+            )
+
+            interpret = jax.default_backend() == "cpu"
+            variant = fused_block_ready(
+                self.dilation, cfg.norm_type, cfg.causal, interpret)
+            if variant is not None:
+                bn_stats = None
+                if cfg.norm_type == "BN":
+                    bn_stats = (norm1.ra_mean.value, norm1.ra_var.value,
+                                norm2.ra_mean.value, norm2.ra_var.value)
+                store_h2 = None if variant == "auto" else (variant == "store")
+                return fused_tcn_block(
+                    x, w_in, w_dw, w_out, a1, a2,
+                    norm1.gamma, norm1.beta, norm2.gamma, norm2.beta,
+                    dilation=self.dilation, causal=cfg.causal,
+                    norm_type=cfg.norm_type, bn_stats=bn_stats,
+                    store_h2=store_h2, interpret=interpret)
 
         blk = {"conv1x1": w_in, "prelu1": a1, "dwconv": w_dw,
                "prelu2": a2, "pwconv": w_out}

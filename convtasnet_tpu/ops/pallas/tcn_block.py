@@ -297,10 +297,11 @@ def fused_tcn_block(
     scal = jnp.reshape(jnp.stack([a1, a2]).astype(jnp.float32), (1, 2))
 
     cdtype = x.dtype
+    itemsize = jnp.dtype(cdtype).itemsize
     if store_h2 is None:
         # working set: pipelined in/out blocks (2x2 KpxB) + h_buf + h2 + weights
-        footprint = (4 * Kp * B + (left + Kp + right) * H + Kp * H) * 2 \
-            + 2 * B * H * jnp.dtype(cdtype).itemsize
+        footprint = (4 * Kp * B + (left + Kp + right) * H + Kp * H + 2 * B * H) \
+            * itemsize
         store_h2 = footprint < 12 * 1024 * 1024
     kernel = functools.partial(
         _kernel, K=K, tile=tile, dilation=dilation, conv_kernel=P,
@@ -321,9 +322,13 @@ def fused_tcn_block(
         out_specs=pl.BlockSpec((1, Kp, B), lambda m: (m, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, Kp, B), cdtype),
+        # Scratch follows the compute dtype: bf16 in production (paper
+        # config), f32 for f32-compute models — which makes the fused
+        # forward bit-consistent with the f32 recompute in the fused
+        # backward kernel (tcn_block_bwd.py), i.e. exact training grads.
         scratch_shapes=(
-            [pltpu.VMEM((left + Kp + right, H), jnp.bfloat16)]
-            + ([pltpu.VMEM((Kp, H), jnp.bfloat16)]
+            [pltpu.VMEM((left + Kp + right, H), cdtype)]
+            + ([pltpu.VMEM((Kp, H), cdtype)]
                if (norm_type == "gLN" and store_h2) else [])
         ),
         cost_estimate=pl.CostEstimate(
@@ -388,7 +393,7 @@ def _xla_block(static, x, w_in, dw, w_out, a1, a2,
 
 def _pallas_forward(static, x, w_in, dw, w_out, a1, a2,
                     g1, b1, g2, b2, m1, v1, m2, v2):
-    dilation, causal, norm_type, tile, interpret, store_h2 = static
+    dilation, causal, norm_type, tile, interpret, store_h2 = static[:6]
     bn_stats = (m1, v1, m2, v2) if norm_type == "BN" else None
     return fused_tcn_block(
         x, w_in, dw, w_out, a1, a2, g1, b1, g2, b2,
@@ -411,6 +416,20 @@ def _fused_block_fwd(static, *args):
 
 
 def _fused_block_bwd(static, residuals, g):
+    bwd = static[6] if len(static) > 6 else None
+    if bwd is not None:
+        # Fused single-kernel backward (gLN only): recomputes the forward
+        # intermediates in VMEM and emits dx + every weight grad in one pass
+        # (ops/pallas/tcn_block_bwd.py).
+        from convtasnet_tpu.ops.pallas.tcn_block_bwd import fused_tcn_block_bwd
+
+        dilation, causal, _norm, tile, interpret = static[:5]
+        x, w_in, dw, w_out, a1, a2, g1, b1, g2, b2, m1, v1, m2, v2 = residuals
+        grads = fused_tcn_block_bwd(
+            x, g, w_in, dw, w_out, a1, a2, g1, b1, g2, b2,
+            dilation=dilation, causal=causal, tile=tile,
+            interpret=interpret, store_e=(bwd == "store"))
+        return grads + tuple(jnp.zeros_like(s) for s in (m1, v1, m2, v2))
     _, vjp = jax.vjp(lambda *a: _xla_block(static, *a), *residuals)
     return vjp(g)
 
@@ -428,13 +447,23 @@ def fused_tcn_block_ad(
     tile: int = 1600,
     interpret: bool = False,
     store_h2: Optional[bool] = None,
+    bwd: Optional[str] = None,
 ):
-    """Differentiable fused block: Pallas forward, recompute-XLA backward.
+    """Differentiable fused block: Pallas forward + selectable backward.
 
     Same signature/semantics as ``fused_tcn_block`` but safe under
-    ``jax.grad`` — usable on the training path.
+    ``jax.grad`` — usable on the training path. ``bwd``:
+
+    - ``None``        — rematerialize through XLA math and autodiff it
+      (works for every norm type; slower than plain XLA autodiff);
+    - ``"store"`` / ``"recompute"`` — the fused single-kernel backward
+      (gLN only; the variant names its dhn2 scratch strategy). Use
+      ``ensure_probed_train`` / ``fused_block_bwd_ready`` to pick this
+      safely on a real backend.
     """
-    static = (dilation, causal, norm_type, tile, interpret, store_h2)
+    if bwd is not None and norm_type != "gLN":
+        raise ValueError("fused backward kernel supports gLN only")
+    static = (dilation, causal, norm_type, tile, interpret, store_h2, bwd)
     H = w_in.shape[1]
     if norm_type == "BN":
         m1, v1, m2, v2 = [s.astype(jnp.float32) for s in bn_stats]
@@ -624,6 +653,119 @@ def probe_for_config(cfg, K: int, batch: int, verbose: bool = False) -> dict:
         verbose=verbose)
 
 
+# (dilation, causal) -> "store" | "recompute" | None (=recompute-XLA VJP /
+# plain autodiff). Populated by probe_fused_block_train. gLN only.
+_FUSED_BWD_READY: dict = {}
+
+
+def fused_block_bwd_ready(dilation: int, causal: bool, interpret: bool):
+    """Trace-time gate for the fused backward kernel (training path).
+
+    Returns "store"/"recompute" when the single-kernel backward for this
+    dilation compiled AND won the on-device race against XLA autodiff, else
+    None (→ plain XLA autodiff). Interpret mode (CPU) always returns "store"
+    (correctness testing)."""
+    if interpret:
+        return "store"
+    return _FUSED_BWD_READY.get((dilation, causal))
+
+
+def probe_fused_block_train(
+    dilations,
+    *,
+    K: int,
+    batch: int,
+    bottleneck: int,
+    hidden: int,
+    conv_kernel: int = 3,
+    causal: bool = False,
+    dtype=jnp.bfloat16,
+    tile: int = 1600,
+    retries: int = 2,
+    verbose: bool = False,
+    autotune: bool = True,
+) -> dict:
+    """AOT-compile and race the TRAINING path per dilation: full
+    forward+backward through (a) plain XLA autodiff, (b) the fused Pallas
+    forward + fused single-kernel backward ("store" / "recompute" dhn2
+    scratch strategies). Records the winner in ``_FUSED_BWD_READY``; XLA
+    winning (or every fused variant failing to compile) records None so the
+    train step keeps plain autodiff. gLN only.
+    """
+    import numpy as _np
+
+    results = {}
+    rng = _np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, K, bottleneck)), dtype)
+    w_in = jnp.asarray(
+        rng.standard_normal((bottleneck, hidden)) / _np.sqrt(bottleneck), dtype)
+    dw = jnp.asarray(rng.standard_normal((conv_kernel, hidden)) * 0.1, dtype)
+    w_out = jnp.asarray(
+        rng.standard_normal((hidden, bottleneck)) / _np.sqrt(hidden), dtype)
+    gb = jnp.zeros((hidden,), jnp.float32)
+    g1 = gb + 1
+    a = jnp.asarray(0.25, jnp.float32)
+
+    def grad_fn(block10):
+        """x -> dx with ALL ten input cotangents computed (as training does)."""
+
+        def f(xx):
+            def loss(*args):
+                return jnp.sum(block10(*args))
+
+            grads = jax.grad(loss, argnums=tuple(range(10)))(
+                xx, w_in, dw, w_out, a, a, g1, gb, g1, gb)
+            return grads[0].astype(xx.dtype)
+
+        return f
+
+    for d in sorted(set(int(d) for d in dilations)):
+        static = (d, causal, "gLN", tile, False)
+        xla10 = lambda *args: _xla_block(static, *args, gb, g1, gb, g1)  # noqa: E731
+        fwd_variant = _FUSED_READY.get((d, "gLN", causal))
+        store_h2 = None if fwd_variant is None else (fwd_variant == "store")
+        candidates = {}
+        for bwd in ("store", "recompute"):
+            fn = grad_fn(functools.partial(
+                fused_tcn_block_ad, dilation=d, causal=causal,
+                norm_type="gLN", tile=tile, store_h2=store_h2, bwd=bwd))
+            err = None
+            for _ in range(retries + 1):
+                try:
+                    jax.jit(fn).lower(x).compile()
+                    candidates[bwd] = fn
+                    err = None
+                    break
+                except Exception as e:  # noqa: BLE001 — any compile failure
+                    err = e
+            if err is not None and verbose:
+                import sys as _sys
+
+                print(f"pallas train probe d={d} bwd={bwd}: compile failed "
+                      f"({type(err).__name__})", file=_sys.stderr)
+        if not candidates:
+            best = None
+        elif autotune:
+            timed = {"xla": _time_compiled(grad_fn(xla10), x, inner=60)}
+            for name, fn in candidates.items():
+                timed[name] = _time_compiled(fn, x, inner=60)
+            best = min(timed, key=timed.get)
+            if best == "xla":
+                best = None
+            if verbose:
+                import sys as _sys
+
+                detail = " ".join(
+                    f"{k}={v * 1e3:.3f}ms" for k, v in sorted(timed.items()))
+                print(f"pallas train probe d={d}: best={best or 'xla'} "
+                      f"({detail})", file=_sys.stderr)
+        else:
+            best = next(iter(candidates))
+        _FUSED_BWD_READY[(d, causal)] = best
+        results[d] = best
+    return results
+
+
 _PROBED_SHAPES: set = set()
 
 
@@ -639,4 +781,26 @@ def ensure_probed(cfg, batch: int, T: int, verbose: bool = True) -> None:
     if key in _PROBED_SHAPES:
         return
     probe_for_config(cfg, K, batch, verbose=verbose)
+    _PROBED_SHAPES.add(key)
+
+
+def ensure_probed_train(cfg, batch: int, T: int, verbose: bool = True) -> None:
+    """Probe the fused TRAIN path (forward + single-kernel backward) for a
+    concrete [batch, T] shape. Probes the forward registry first (the train
+    candidates reuse its per-dilation winner). No-op unless ``use_pallas``,
+    gLN, and a real (non-CPU) backend."""
+    if (not cfg.use_pallas or cfg.norm_type != "gLN"
+            or jax.default_backend() == "cpu"):
+        return
+    K = (T - cfg.kernel_size) // cfg.stride + 1
+    key = ("train", batch, K, cfg.bottleneck, cfg.hidden, cfg.conv_kernel,
+           cfg.causal, cfg.compute_dtype)
+    if key in _PROBED_SHAPES:
+        return
+    ensure_probed(cfg, batch, T, verbose=verbose)
+    probe_fused_block_train(
+        [2 ** i for i in range(cfg.num_blocks)],
+        K=K, batch=batch, bottleneck=cfg.bottleneck, hidden=cfg.hidden,
+        conv_kernel=cfg.conv_kernel, causal=cfg.causal,
+        dtype=jnp.dtype(cfg.compute_dtype), verbose=verbose)
     _PROBED_SHAPES.add(key)

@@ -78,12 +78,19 @@ class Solver:
         rng = jax.random.PRNGKey(s.seed)
         example_len = int(cfg.data.segment * cfg.data.sample_rate) if cfg.data.segment > 0 else 4 * cfg.data.sample_rate
         if cfg.model.use_pallas:
-            # AOT-probe each dilation's fused kernel for the training shape so
-            # a flaky Mosaic compile degrades that block to XLA instead of
-            # failing the whole train-step jit (ops/pallas/tcn_block.py).
-            from convtasnet_tpu.ops.pallas.tcn_block import ensure_probed
+            # AOT-probe each dilation's fused kernels (forward for the cv
+            # pass, forward+backward race for the train step) at the training
+            # shape so a flaky Mosaic compile degrades that block to XLA
+            # instead of failing the whole train-step jit, and so the fused
+            # train path only engages where it actually wins on-device
+            # (ops/pallas/tcn_block.py).
+            from convtasnet_tpu.ops.pallas.tcn_block import (
+                ensure_probed,
+                ensure_probed_train,
+            )
 
             ensure_probed(cfg.model, cfg.data.batch_size, example_len)
+            ensure_probed_train(cfg.model, cfg.data.batch_size, example_len)
         self.state, self.tx = create_train_state(cfg.model, s, rng, example_len)
         self.train_step = make_train_step(cfg.model, self.tx, mesh=mesh)
         self.eval_step = make_eval_step(cfg.model, mesh=mesh)

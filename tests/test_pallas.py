@@ -94,6 +94,85 @@ def test_fused_block_pads_k():
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("dilation,causal", [(1, False), (4, False), (2, True)])
+@pytest.mark.parametrize("store_e", [True, False])
+def test_fused_backward_kernel_matches_autodiff(dilation, causal, store_e):
+    """Single-kernel fused backward (gLN) vs jax.vjp of the XLA block math,
+    every cotangent (dx + all 9 weight/affine/slope grads)."""
+    from convtasnet_tpu.ops.pallas.tcn_block_bwd import fused_tcn_block_bwd
+
+    M, K, B, H, P = 2, 300, 24, 40, 3
+    p = _params(B, H, P, seed=4)
+    # negative second slope: exercises the sign-flip case of PReLU'
+    p["a2"] = np.float32(-0.1)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((M, K, B)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((M, K, B)).astype(np.float32))
+    args = [jnp.asarray(v) for v in
+            (p["w_in"], p["dw"], p["w_out"], p["a1"], p["a2"],
+             p["g1"], p["b1"], p["g2"], p["b2"])]
+
+    def block(xx, w_in, dw, w_out, a1, a2, g1, b1, g2, b2):
+        return _xla_block(xx, w_in, dw, w_out, a1, a2, g1, b1, g2, b2,
+                          dilation, causal, "gLN")
+
+    _, vjp = jax.vjp(block, x, *args)
+    want = vjp(g)
+    got = fused_tcn_block_bwd(
+        x, g, *args, dilation=dilation, causal=causal, tile=128,
+        interpret=True, store_e=store_e)
+    assert len(got) == 10
+    for name, w, q in zip(
+            ["dx", "dW_in", "d_dw", "dW_out", "da1", "da2",
+             "dg1", "db1", "dg2", "db2"], want, got):
+        w, q = np.asarray(w), np.asarray(q)
+        assert q.shape == w.shape, name
+        scale = np.max(np.abs(w)) + 1e-9
+        np.testing.assert_allclose(q / scale, w / scale, atol=5e-5,
+                                   err_msg=name)
+
+
+def test_fused_ad_train_path_gradients():
+    """Whole-model loss gradients: fused train path (Pallas fwd + fused bwd,
+    interpret) vs plain XLA autodiff."""
+    import dataclasses
+    from convtasnet_tpu.config import ConvTasNetConfig
+    from convtasnet_tpu.models.conv_tasnet import ConvTasNet, init_params
+
+    base = ConvTasNetConfig(
+        n_filters=32, kernel_size=16, bottleneck=128, hidden=256,
+        conv_kernel=3, num_blocks=2, num_repeats=1, num_speakers=2)
+    variables = init_params(base, jax.random.PRNGKey(0), example_len=2000)
+    mix = jax.random.normal(jax.random.PRNGKey(1), (2, 2000))
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (2, 2, 2000))
+
+    def make_loss(cfg):
+        model = ConvTasNet(cfg)
+
+        def loss(params):
+            est = model.apply({"params": params}, mix, train=True)
+            return jnp.mean((est - tgt) ** 2)
+
+        return loss
+
+    l_ref, g_ref = jax.value_and_grad(make_loss(base))(variables["params"])
+    fast = dataclasses.replace(base, use_pallas=True)
+    l_got, g_got = jax.value_and_grad(make_loss(fast))(variables["params"])
+    assert abs(float(l_got) - float(l_ref)) < 5e-4 * max(abs(float(l_ref)), 1)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_got = jax.tree_util.tree_leaves(g_got)
+    for (path, r), q in zip(flat_ref, flat_got):
+        r, q = np.asarray(r), np.asarray(q)
+        scale = np.max(np.abs(r)) + 1e-9
+        # f32 compute → f32 kernel scratch: the fused forward is
+        # bit-consistent with the backward's recompute, so grads match XLA
+        # autodiff to f32 reduction-order noise
+        np.testing.assert_allclose(q / scale, r / scale, atol=1e-3,
+                                   err_msg=str(path))
+        if r.size > 1:
+            assert np.corrcoef(q.ravel(), r.ravel())[0, 1] > 0.9999, path
+
+
 def test_model_use_pallas_matches_xla_path():
     """Whole model with use_pallas (interpret on CPU) vs the XLA path."""
     import dataclasses
