@@ -136,11 +136,17 @@ def _read_sphere(f, header12: bytes) -> Tuple[np.ndarray, int]:
         # WSJ0 distribution format (.wv1/.wv2): native shorten decode —
         # subsumes the reference's external sph2pipe build
         # (tools/Makefile:9-11); see data/shorten.py.
+        from convtasnet_tpu.data import native
         from convtasnet_tpu.data.shorten import decode, samples_to_float
 
         f.seek(header_bytes)
+        payload = f.read()
         try:
-            samples, ftype, _ = decode(f.read(), max_samples=n_samples)
+            res = native.shorten_decode(payload, n_samples)  # fast path
+            if res is not None:
+                samples, ftype = res
+            else:
+                samples, ftype, _ = decode(payload, max_samples=n_samples)
         except EOFError as e:
             raise ValueError(f"truncated shorten payload: {e}") from e
         x = samples_to_float(samples[:n_samples], ftype)

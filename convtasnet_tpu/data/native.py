@@ -68,6 +68,18 @@ def load_library(build_if_missing: bool = True):
     lib.segment_plan.argtypes = [
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+    try:  # shorten decoder (absent in pre-existing builds of the .so)
+        lib.shorten_probe.restype = ctypes.c_int64
+        lib.shorten_probe.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib.shorten_decode.restype = ctypes.c_int64
+        lib.shorten_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+    except AttributeError:
+        pass
     _LIB = lib
     return _LIB
 
@@ -107,6 +119,34 @@ def decode_batch(
         bad = [paths[i] for i in np.nonzero(lengths < 0)[0]]
         raise IOError(f"native wav decode failed for: {bad[:3]}")
     return out, lengths
+
+
+def shorten_decode(data: bytes, max_samples: int
+                   ) -> Optional[Tuple[np.ndarray, int]]:
+    """Native Shorten v2 decode: -> (samples [n, nchan] int32, ftype), or
+    None when the native library is unavailable (callers fall back to the
+    pure-Python decoder, ``data/shorten.py``). Raises ValueError on a
+    corrupt/unsupported stream (same contract as the Python decoder)."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "shorten_decode"):
+        return None
+    nchan = ctypes.c_int32(0)
+    ftype = ctypes.c_int32(0)
+    rc = lib.shorten_probe(data, len(data), ctypes.byref(nchan),
+                           ctypes.byref(ftype))
+    if rc == -2:
+        return None  # unsupported feature: let the Python decoder report it
+    if rc != 0:
+        raise ValueError(f"shorten: corrupt stream (native rc={rc})")
+    out = np.empty((max_samples, nchan.value), np.int32)
+    n = lib.shorten_decode(
+        data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        max_samples, ctypes.byref(nchan), ctypes.byref(ftype))
+    if n == -3:
+        raise EOFError("shorten bitstream exhausted")
+    if n < 0:
+        raise ValueError(f"shorten: corrupt stream (native rc={n})")
+    return out[:n], int(ftype.value)
 
 
 def num_frames(path: str) -> Optional[int]:

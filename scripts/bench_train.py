@@ -64,9 +64,11 @@ def bench_train_step(use_pallas: bool, batch=24, seconds=4.0, steps=8,
     T = int(seconds * 8000)
     cfg = ConvTasNetConfig(compute_dtype="bfloat16", use_pallas=use_pallas)
     if use_pallas and jax.default_backend() != "cpu":
-        from convtasnet_tpu.ops.pallas.tcn_block import ensure_probed
+        from convtasnet_tpu.ops.pallas.tcn_block import ensure_probed_train
 
-        ensure_probed(cfg, batch, T)
+        # probes the forward registry AND races the fused fwd+bwd kernels
+        # against XLA autodiff per dilation for the train-step shape
+        ensure_probed_train(cfg, batch, T, verbose=True)
     state, tx = create_train_state(cfg, SolverConfig(lr=1e-3),
                                    jax.random.PRNGKey(0), T)
     step = make_multi_train_step(cfg, tx)

@@ -88,3 +88,56 @@ def test_dataset_uses_native_path(tmp_path, monkeypatch):
     b_numpy = ds.load_batch(0)
     np.testing.assert_allclose(b_native.mixture, b_numpy.mixture, atol=1e-6)
     np.testing.assert_allclose(b_native.sources, b_numpy.sources, atol=1e-6)
+
+
+def test_native_shorten_matches_python_decoder():
+    """Native Shorten v2 decode vs the pure-Python oracle, across channel
+    counts, running means, bitshift, and sample types; plus capacity clip."""
+    from convtasnet_tpu.data import shorten
+
+    lib = native.load_library()
+    if lib is None or not hasattr(lib, "shorten_decode"):
+        pytest.skip("libwavio.so predates the shorten decoder")
+    rng = np.random.default_rng(7)
+    for nchan in (1, 2):
+        for nmean in (0, 4):
+            for bitshift in (0, 2):
+                x = np.cumsum(
+                    rng.integers(-300, 300, size=(777, nchan)), axis=0)
+                if bitshift:
+                    x = x << bitshift
+                data = shorten.encode(
+                    x, ftype=shorten.TYPE_S16HL, nmean=nmean,
+                    bitshift=bitshift, blocksize=96,
+                    verbatim=b"NIST" if nmean else b"")
+                want, wt, _ = shorten.decode(data, max_samples=777)
+                got = native.shorten_decode(data, 777)
+                assert got is not None
+                assert got[1] == wt
+                np.testing.assert_array_equal(got[0], want)
+                np.testing.assert_array_equal(
+                    native.shorten_decode(data, 50)[0], want[:50])
+
+
+def test_native_shorten_sphere_file_roundtrip(tmp_path):
+    """A .wv1-style embedded-shorten SPHERE file decodes through read_wav's
+    native fast path to the same samples as the Python decoder."""
+    from convtasnet_tpu.data import shorten
+    from convtasnet_tpu.data.audio_io import read_wav
+
+    lib = native.load_library()
+    if lib is None or not hasattr(lib, "shorten_decode"):
+        pytest.skip("libwavio.so predates the shorten decoder")
+    rng = np.random.default_rng(8)
+    pcm = np.cumsum(rng.integers(-200, 200, size=1600)).astype(np.int64)
+    payload = shorten.encode(pcm, ftype=shorten.TYPE_S16HL)
+    head = (
+        "NIST_1A\n   1024\nsample_rate -i 8000\nchannel_count -i 1\n"
+        f"sample_count -i {len(pcm)}\nsample_n_bytes -i 2\n"
+        "sample_coding -s24 pcm,embedded-shorten-v2\nend_head\n"
+    ).encode()
+    path = tmp_path / "utt.wv1"
+    path.write_bytes(head + b" " * (1024 - len(head)) + payload)
+    x, sr = read_wav(str(path))
+    assert sr == 8000 and len(x) == len(pcm)
+    np.testing.assert_allclose(x, pcm.astype(np.float32) / 32768.0, atol=1e-7)
