@@ -163,3 +163,23 @@ def test_loader_propagates_worker_errors(tmp_path):
     loader = BatchLoader(BoomDataset())
     with pytest.raises(RuntimeError, match="decode failure"):
         list(loader)
+
+
+def test_separate_use_pallas_override(trained_model):
+    """Explicit use_pallas=True routes separate through the fused kernels
+    (interpret mode on CPU) and produces the same audio as the XLA path
+    (the CPU default)."""
+    from convtasnet_tpu.data.audio_io import read_wav
+    from convtasnet_tpu.infer.separate import separate
+
+    mix_dir = os.path.join(trained_model["root"], "tt", "mix")
+    out_xla = os.path.join(trained_model["tmp"], "sep_xla")
+    out_fused = os.path.join(trained_model["tmp"], "sep_fused")
+    assert separate(trained_model["ckpt"], out_xla, mix_dir=mix_dir,
+                    sample_rate=8000) == 2
+    assert separate(trained_model["ckpt"], out_fused, mix_dir=mix_dir,
+                    sample_rate=8000, use_pallas=True) == 2
+    for name in sorted(os.listdir(out_xla)):
+        a, _ = read_wav(os.path.join(out_xla, name))
+        b, _ = read_wav(os.path.join(out_fused, name))
+        np.testing.assert_allclose(a, b, atol=2e-4)
