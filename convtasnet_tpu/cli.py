@@ -201,9 +201,11 @@ def cmd_train(a) -> int:
 def cmd_evaluate(a) -> int:
     from convtasnet_tpu.infer.evaluate import evaluate
 
+    up = getattr(a, "use_pallas", -1)
     res = evaluate(a.model_path, a.data_dir, batch_size=a.batch_size,
                    sample_rate=a.sample_rate, cal_sdr=bool(a.cal_sdr),
-                   max_batches=getattr(a, "max_batches", None))
+                   max_batches=getattr(a, "max_batches", None),
+                   use_pallas=None if up < 0 else bool(up))
     print(json.dumps(res))
     return 0
 
@@ -211,12 +213,14 @@ def cmd_evaluate(a) -> int:
 def cmd_separate(a) -> int:
     from convtasnet_tpu.infer.separate import separate
 
+    up = getattr(a, "use_pallas", -1)
     n = separate(a.model_path, a.out_dir, mix_dir=a.mix_dir,
                  mix_json=a.mix_json, batch_size=a.batch_size,
                  sample_rate=a.sample_rate,
                  streaming=bool(getattr(a, "streaming", 0)),
                  chunk_seconds=getattr(a, "chunk_seconds", 0.5),
-                 sequence_parallel=bool(getattr(a, "sequence_parallel", 0)))
+                 sequence_parallel=bool(getattr(a, "sequence_parallel", 0)),
+                 use_pallas=None if up < 0 else bool(up))
     print(f"separated {n} utterances into {a.out_dir}")
     return 0
 
@@ -348,6 +352,9 @@ def main(argv=None) -> int:
     p.add_argument("--sample-rate", type=int, default=8000)
     p.add_argument("--cal-sdr", type=int, default=0)
     p.add_argument("--max-batches", type=int, default=None)
+    p.add_argument("--use-pallas", type=int, default=-1, choices=[-1, 0, 1],
+                   help="fused TCN kernels: -1 auto (on for real "
+                        "accelerators), 0 off, 1 on")
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("separate", help="write separated wavs (stage 4)")
@@ -362,6 +369,9 @@ def main(argv=None) -> int:
     p.add_argument("--chunk-seconds", type=float, default=0.5)
     p.add_argument("--sequence-parallel", type=int, default=0,
                    help="shard each mixture's time axis over all devices")
+    p.add_argument("--use-pallas", type=int, default=-1, choices=[-1, 0, 1],
+                   help="fused TCN kernels: -1 auto (on for real "
+                        "accelerators), 0 off, 1 on")
     p.set_defaults(fn=cmd_separate)
 
     p = sub.add_parser("stream-demo",

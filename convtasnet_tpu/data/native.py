@@ -134,10 +134,10 @@ def shorten_decode(data: bytes, max_samples: int
     ftype = ctypes.c_int32(0)
     rc = lib.shorten_probe(data, len(data), ctypes.byref(nchan),
                            ctypes.byref(ftype))
-    if rc == -2:
-        return None  # unsupported feature: let the Python decoder report it
     if rc != 0:
-        raise ValueError(f"shorten: corrupt stream (native rc={rc})")
+        # bad magic / unsupported feature / corrupt header: let the Python
+        # decoder produce its canonical error (or handle what it can)
+        return None
     out = np.empty((max_samples, nchan.value), np.int32)
     n = lib.shorten_decode(
         data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

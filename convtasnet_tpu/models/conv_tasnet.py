@@ -187,7 +187,7 @@ class TemporalBlock(nn.Module):
         norm2 = Norm(cfg.norm_type, H, name="norm2")
 
         if (cfg.use_pallas and train and x.ndim == 3
-                and cfg.norm_type == "gLN"):
+                and cfg.norm_type in ("gLN", "cLN")):
             # Fused training path: Pallas forward + single-kernel fused
             # backward (ops/pallas/tcn_block_bwd.py). Gated per dilation on
             # BOTH probe registries — a dilation whose backward lost the
@@ -202,7 +202,7 @@ class TemporalBlock(nn.Module):
             fwd_variant = fused_block_ready(
                 self.dilation, cfg.norm_type, cfg.causal, interpret)
             bwd_variant = fused_block_bwd_ready(
-                self.dilation, cfg.causal, interpret)
+                self.dilation, cfg.norm_type, cfg.causal, interpret)
             if fwd_variant is not None and bwd_variant is not None:
                 store_h2 = (None if fwd_variant == "auto"
                             else fwd_variant == "store")

@@ -23,8 +23,11 @@ true K):
            - cLN/BN: normalize inline → (y @ W_out) + x → out (done)
            - gLN, store_h2: stats + park y in a second [Kp, H] scratch
            - gLN, recompute: accumulate Σy, Σy² only (y is NOT stored)
-  pass 4   (gLN only) normalize y — re-read from the scratch (store_h2) or
-           recomputed from h_buf — with the pass-3 stats → (y @ W_out) + x
+  pass 4   (gLN only) the RAW conv output — re-read from the scratch
+           (store_h2) or recomputed from h_buf — goes straight into the
+           output matmul: gLN-2's affine folds into W_out
+           (norm2(y) @ W_out = y @ (s2 ⊙ W_out) + (β2 − μ2 s2) @ W_out),
+           so no per-element normalize pass exists at all → + x → out
 
 The two gLN strategies trade a [Kp, H] VMEM scratch against recomputing the
 cheap VPU dwconv once; which is faster varies by dilation on real hardware
@@ -41,12 +44,14 @@ activations live in VMEM as bf16. Norm numerics match ``ops/norm.py``
 exactly (eps added to biased variance).
 
 Training support: ``fused_tcn_block_ad`` wraps the kernel in a
-``jax.custom_vjp`` whose backward *recomputes* the block through the shared
-XLA math (``models/functional.block_forward``) and differentiates that — the
-rematerialization pattern: only the block *input* is saved as a residual
-(vs XLA autodiff keeping several [K, H] intermediates per block in HBM), at
-the cost of one extra fused forward in the backward pass. Forward stays the
-single Pallas kernel.
+``jax.custom_vjp``. Only the block *input* is saved as a residual (vs XLA
+autodiff keeping several [K, H] intermediates per block in HBM). The
+backward is selectable: the fused single-kernel backward
+(``tcn_block_bwd.py``, gLN/cLN — recomputes the intermediates in VMEM and
+emits dx + every weight grad in one kernel), or rematerialize through the
+shared XLA math and differentiate that (any norm type). The training path
+is probe-gated per dilation (``probe_fused_block_train``): each dilation
+races fused-vs-autodiff on-device and only engages where it wins.
 
 VMEM note: the kernel declares a large ``vmem_limit_bytes`` so XLA's
 memory-space assignment never tries to home the kernel's whole [M, Kp, B]
@@ -197,9 +202,32 @@ def _kernel(
         x = x_ref[0, pl.ds(k0, tile), :]
         out_ref[0, pl.ds(k0, tile), :] = x + out.astype(x.dtype)
 
+    if norm_type == "gLN":
+        # gLN-2's affine normalize folds into the output matmul (like gLN-1
+        # folded into the conv taps):
+        #   norm2(y) @ W_out = y @ (s2 ⊙_rows W_out) + (β2 − μ2·s2) @ W_out
+        # with s2 = rs2·γ2 per channel — eliminating the whole per-element
+        # normalize pass; the per-sample cost is one [H, B] scale + a [1, H]
+        # matmul. ``emit_raw`` consumes the RAW conv output.
+        def make_fold(mean2, rs2):
+            s2_vec = rs2 * aff_ref[2:3, :]                  # [1, H]
+            b2_vec = aff_ref[3:4, :] - mean2 * s2_vec
+            w_eff = (w_out.astype(jnp.float32)
+                     * jnp.transpose(s2_vec)).astype(w_out.dtype)
+            const = jnp.dot(b2_vec.astype(w_out.dtype), w_out,
+                            preferred_element_type=jnp.float32)  # [1, B]
+
+            def emit_raw(y, k0):
+                out = jnp.dot(y.astype(w_out.dtype), w_eff,
+                              preferred_element_type=jnp.float32) + const
+                x = x_ref[0, pl.ds(k0, tile), :]
+                out_ref[0, pl.ds(k0, tile), :] = x + out.astype(x.dtype)
+
+            return emit_raw
+
     if norm_type == "gLN" and store_h2:
         # conv output parked in a second [Kp, H] scratch between the stats
-        # and normalize+matmul passes (fastest when VMEM allows it)
+        # and folded-matmul passes (fastest when VMEM allows it)
         h2_buf = scratch[0]
         s3 = jnp.float32(0.0)
         s4 = jnp.float32(0.0)
@@ -211,11 +239,10 @@ def _kernel(
             h2_buf[pl.ds(k0, tile), :] = y.astype(h2_buf.dtype)
         mean2 = s3 * inv_n
         rs2 = jax.lax.rsqrt(s4 * inv_n - mean2 * mean2 + EPS)
+        emit_raw = make_fold(mean2, rs2)
         for t in range(n_tiles):
             k0 = t * tile
-            y = h2_buf[pl.ds(k0, tile), :].astype(jnp.float32)
-            y = maybe_mask(affine((y - mean2) * rs2, 2, 3), k0)
-            emit_tile(y, k0)
+            emit_raw(h2_buf[pl.ds(k0, tile), :], k0)
     elif norm_type == "gLN":
         # recompute variant: stats pass over the (not stored) conv output,
         # then a second pass that recomputes it — trades 2P VPU FMAs/element
@@ -229,11 +256,10 @@ def _kernel(
             s4 += jnp.sum(y * y)
         mean2 = s3 * inv_n
         rs2 = jax.lax.rsqrt(s4 * inv_n - mean2 * mean2 + EPS)
+        emit_raw = make_fold(mean2, rs2)
         for t in range(n_tiles):
             k0 = t * tile
-            y = maybe_mask(dwconv_prelu_tile(k0), k0)
-            y = maybe_mask(affine((y - mean2) * rs2, 2, 3), k0)
-            emit_tile(y, k0)
+            emit_raw(maybe_mask(dwconv_prelu_tile(k0), k0), k0)
     else:
         for t in range(n_tiles):
             k0 = t * tile
@@ -418,17 +444,17 @@ def _fused_block_fwd(static, *args):
 def _fused_block_bwd(static, residuals, g):
     bwd = static[6] if len(static) > 6 else None
     if bwd is not None:
-        # Fused single-kernel backward (gLN only): recomputes the forward
+        # Fused single-kernel backward (gLN/cLN): recomputes the forward
         # intermediates in VMEM and emits dx + every weight grad in one pass
         # (ops/pallas/tcn_block_bwd.py).
         from convtasnet_tpu.ops.pallas.tcn_block_bwd import fused_tcn_block_bwd
 
-        dilation, causal, _norm, tile, interpret = static[:5]
+        dilation, causal, norm_type, tile, interpret = static[:5]
         x, w_in, dw, w_out, a1, a2, g1, b1, g2, b2, m1, v1, m2, v2 = residuals
         grads = fused_tcn_block_bwd(
             x, g, w_in, dw, w_out, a1, a2, g1, b1, g2, b2,
-            dilation=dilation, causal=causal, tile=tile,
-            interpret=interpret, store_e=(bwd == "store"))
+            dilation=dilation, causal=causal, norm_type=norm_type,
+            tile=tile, interpret=interpret, store_e=(bwd == "store"))
         return grads + tuple(jnp.zeros_like(s) for s in (m1, v1, m2, v2))
     _, vjp = jax.vjp(lambda *a: _xla_block(static, *a), *residuals)
     return vjp(g)
@@ -461,8 +487,8 @@ def fused_tcn_block_ad(
       ``ensure_probed_train`` / ``fused_block_bwd_ready`` to pick this
       safely on a real backend.
     """
-    if bwd is not None and norm_type != "gLN":
-        raise ValueError("fused backward kernel supports gLN only")
+    if bwd is not None and norm_type not in ("gLN", "cLN"):
+        raise ValueError("fused backward kernel supports gLN/cLN only")
     static = (dilation, causal, norm_type, tile, interpret, store_h2, bwd)
     H = w_in.shape[1]
     if norm_type == "BN":
@@ -535,6 +561,38 @@ def _time_compiled(fn, x, inner: int = 150, trials: int = 5) -> float:
     times.sort()
     rtts.sort()
     return max(times[len(times) // 2] - rtts[len(rtts) // 2], 1e-9) / inner
+
+
+def _time_or_none(fn, x, inner: int = 150, retries: int = 1):
+    """``_time_compiled`` with retry; None on any failure. The timing race
+    compiles its own scan-chain wrapper, so a transient remote-compile
+    failure here must degrade the candidate, never crash the probe (and
+    with it solver/bench startup)."""
+    for _ in range(retries + 1):
+        try:
+            return _time_compiled(fn, x, inner=inner)
+        except Exception:  # noqa: BLE001 — compile service / runtime
+            continue
+    return None
+
+
+def _race(candidates: dict, xla_fn, x, inner: int):
+    """Time every candidate + the XLA baseline; return the winner name or
+    None (=XLA). Candidates whose timing fails are dropped; if the XLA
+    baseline itself cannot be timed, the fastest surviving candidate wins
+    (its compile already succeeded)."""
+    timed = {}
+    for name, fn in candidates.items():
+        t = _time_or_none(fn, x, inner=inner)
+        if t is not None:
+            timed[name] = t
+    if not timed:
+        return None, {}
+    t_xla = _time_or_none(xla_fn, x, inner=inner)
+    if t_xla is not None:
+        timed["xla"] = t_xla
+    best = min(timed, key=timed.get)
+    return (None if best == "xla" else best), timed
 
 
 def probe_fused_block(
@@ -618,12 +676,7 @@ def probe_fused_block(
         if not compiled:
             best = None
         elif autotune and not interpret:
-            timed = {"xla": _time_compiled(xla_fn(d), x)}
-            for name, fn in compiled.items():
-                timed[name] = _time_compiled(fn, x)
-            best = min(timed, key=timed.get)
-            if best == "xla":
-                best = None
+            best, timed = _race(compiled, xla_fn(d), x, inner=150)
             if verbose:
                 import sys as _sys
 
@@ -653,12 +706,14 @@ def probe_for_config(cfg, K: int, batch: int, verbose: bool = False) -> dict:
         verbose=verbose)
 
 
-# (dilation, causal) -> "store" | "recompute" | None (=recompute-XLA VJP /
-# plain autodiff). Populated by probe_fused_block_train. gLN only.
+# (dilation, norm_type, causal) -> "store" | "recompute" | None
+# (=recompute-XLA VJP / plain autodiff). Populated by
+# probe_fused_block_train. gLN and cLN.
 _FUSED_BWD_READY: dict = {}
 
 
-def fused_block_bwd_ready(dilation: int, causal: bool, interpret: bool):
+def fused_block_bwd_ready(dilation: int, norm_type: str, causal: bool,
+                          interpret: bool):
     """Trace-time gate for the fused backward kernel (training path).
 
     Returns "store"/"recompute" when the single-kernel backward for this
@@ -667,7 +722,7 @@ def fused_block_bwd_ready(dilation: int, causal: bool, interpret: bool):
     (correctness testing)."""
     if interpret:
         return "store"
-    return _FUSED_BWD_READY.get((dilation, causal))
+    return _FUSED_BWD_READY.get((dilation, norm_type, causal))
 
 
 def probe_fused_block_train(
@@ -678,6 +733,7 @@ def probe_fused_block_train(
     bottleneck: int,
     hidden: int,
     conv_kernel: int = 3,
+    norm_type: str = "gLN",
     causal: bool = False,
     dtype=jnp.bfloat16,
     tile: int = 1600,
@@ -688,9 +744,10 @@ def probe_fused_block_train(
     """AOT-compile and race the TRAINING path per dilation: full
     forward+backward through (a) plain XLA autodiff, (b) the fused Pallas
     forward + fused single-kernel backward ("store" / "recompute" dhn2
-    scratch strategies). Records the winner in ``_FUSED_BWD_READY``; XLA
-    winning (or every fused variant failing to compile) records None so the
-    train step keeps plain autodiff. gLN only.
+    scratch strategies; the cLN backward has a single shape). Records the
+    winner in ``_FUSED_BWD_READY``; XLA winning (or every fused variant
+    failing to compile) records None so the train step keeps plain
+    autodiff. gLN and cLN.
     """
     import numpy as _np
 
@@ -719,16 +776,17 @@ def probe_fused_block_train(
 
         return f
 
+    bwd_variants = ("store", "recompute") if norm_type == "gLN" else ("store",)
     for d in sorted(set(int(d) for d in dilations)):
-        static = (d, causal, "gLN", tile, False)
+        static = (d, causal, norm_type, tile, False)
         xla10 = lambda *args: _xla_block(static, *args, gb, g1, gb, g1)  # noqa: E731
-        fwd_variant = _FUSED_READY.get((d, "gLN", causal))
+        fwd_variant = _FUSED_READY.get((d, norm_type, causal))
         store_h2 = None if fwd_variant is None else (fwd_variant == "store")
         candidates = {}
-        for bwd in ("store", "recompute"):
+        for bwd in bwd_variants:
             fn = grad_fn(functools.partial(
                 fused_tcn_block_ad, dilation=d, causal=causal,
-                norm_type="gLN", tile=tile, store_h2=store_h2, bwd=bwd))
+                norm_type=norm_type, tile=tile, store_h2=store_h2, bwd=bwd))
             err = None
             for _ in range(retries + 1):
                 try:
@@ -746,12 +804,7 @@ def probe_fused_block_train(
         if not candidates:
             best = None
         elif autotune:
-            timed = {"xla": _time_compiled(grad_fn(xla10), x, inner=60)}
-            for name, fn in candidates.items():
-                timed[name] = _time_compiled(fn, x, inner=60)
-            best = min(timed, key=timed.get)
-            if best == "xla":
-                best = None
+            best, timed = _race(candidates, grad_fn(xla10), x, inner=60)
             if verbose:
                 import sys as _sys
 
@@ -761,7 +814,7 @@ def probe_fused_block_train(
                       f"({detail})", file=_sys.stderr)
         else:
             best = next(iter(candidates))
-        _FUSED_BWD_READY[(d, causal)] = best
+        _FUSED_BWD_READY[(d, norm_type, causal)] = best
         results[d] = best
     return results
 
@@ -788,19 +841,20 @@ def ensure_probed_train(cfg, batch: int, T: int, verbose: bool = True) -> None:
     """Probe the fused TRAIN path (forward + single-kernel backward) for a
     concrete [batch, T] shape. Probes the forward registry first (the train
     candidates reuse its per-dilation winner). No-op unless ``use_pallas``,
-    gLN, and a real (non-CPU) backend."""
-    if (not cfg.use_pallas or cfg.norm_type != "gLN"
+    gLN/cLN, and a real (non-CPU) backend."""
+    if (not cfg.use_pallas or cfg.norm_type not in ("gLN", "cLN")
             or jax.default_backend() == "cpu"):
         return
     K = (T - cfg.kernel_size) // cfg.stride + 1
     key = ("train", batch, K, cfg.bottleneck, cfg.hidden, cfg.conv_kernel,
-           cfg.causal, cfg.compute_dtype)
+           cfg.norm_type, cfg.causal, cfg.compute_dtype)
     if key in _PROBED_SHAPES:
         return
     ensure_probed(cfg, batch, T, verbose=verbose)
     probe_fused_block_train(
         [2 ** i for i in range(cfg.num_blocks)],
         K=K, batch=batch, bottleneck=cfg.bottleneck, hidden=cfg.hidden,
-        conv_kernel=cfg.conv_kernel, causal=cfg.causal,
-        dtype=jnp.dtype(cfg.compute_dtype), verbose=verbose)
+        conv_kernel=cfg.conv_kernel, norm_type=cfg.norm_type,
+        causal=cfg.causal, dtype=jnp.dtype(cfg.compute_dtype),
+        verbose=verbose)
     _PROBED_SHAPES.add(key)

@@ -40,8 +40,12 @@ Scalar PReLU grads and the per-channel γ/β grads ride in one [16, H] f32
 auxiliary output (rows: 0..P-1 d_dw, 8..11 dγ₁ dβ₁ dγ₂ dβ₂, 12..13
 per-channel partials of da₁/da₂ — summed on the host side of the wrapper).
 
-gLN only (the paper config / flagship training path); cLN/BN training keeps
-the existing recompute-XLA VJP.
+Two norm variants: gLN (the paper config / flagship training path —
+``_bwd_kernel``, six passes with global two-pass stats) and cLN
+(causal/streaming training — ``_bwd_kernel_cln``, THREE passes: the
+per-row stats make every norm backward row-local, so [dhn2 → dh2 → dc]
+and [conv-transpose → dh1 → dx] each fuse into single passes and no e_buf
+exists). BN training keeps the recompute-XLA VJP.
 """
 
 from __future__ import annotations
@@ -314,6 +318,198 @@ def _bwd_kernel(
         daux_ref[:] = daux_ref[:] + aux
 
 
+def _bwd_kernel_cln(
+    x_ref,      # [1, Kp, B]
+    g_ref,      # [1, Kp, B]
+    w_in_ref,   # [B, H]
+    dw_ref,     # [P, H]
+    w_out_ref,  # [H, B]
+    aff_ref,    # [4, H] f32: gamma1, beta1, gamma2, beta2
+    scal_ref,   # [1, 2] SMEM f32: prelu slopes a1, a2
+    dx_ref,     # [1, Kp, B]
+    dwin_ref,   # [B, H] f32 (accumulated over the batch grid)
+    dwout_ref,  # [H, B] f32 (accumulated)
+    daux_ref,   # [16, H] f32 (accumulated)
+    h_buf,      # VMEM [(P-1)d + Kp, H] x.dtype — h_pre at [left + r]
+    st_buf,     # VMEM [(P-1)d + Kp, 128] f32 — per-row (mu1, rs1) in lanes 0/1
+    c_buf,      # VMEM [(P-1)d + Kp, H] x.dtype — dc at [pad_l + r], then dhn1
+    *,
+    K: int,
+    tile: int,
+    dilation: int,
+    conv_kernel: int,
+    causal: bool,
+):
+    """cLN variant: per-row (channel-axis) norm stats make every norm
+    backward row-local, so the whole chain runs in THREE tile passes —
+    recompute+stats, [dhn2 → dh2 → dc] fused, and [conv-transpose → dh1 →
+    dx] fused. No e_buf and no cross-tile reductions beyond the γ/β/slope
+    grad accumulators."""
+    m = pl.program_id(0)
+    Kp = x_ref.shape[1]
+    H = w_in_ref.shape[1]
+    P = conv_kernel
+    d = dilation
+    left = (P - 1) * d if causal else ((P - 1) * d) // 2
+    pad_l = (P - 1) * d - left
+    n_tiles = Kp // tile
+    a1 = scal_ref[0, 0]
+    a2 = scal_ref[0, 1]
+    inv_h = 1.0 / H
+    cdtype = h_buf.dtype
+
+    w_in = w_in_ref[:]
+    w_out = w_out_ref[:]
+    dw = dw_ref[:].astype(jnp.float32)
+    g1 = aff_ref[0:1, :]
+    b1 = aff_ref[1:2, :]
+    g2 = aff_ref[2:3, :]
+    b2 = aff_ref[3:4, :]
+
+    def prelu(v, a):
+        return jnp.where(v >= 0, v, a * v)
+
+    def maybe_mask(y, k0):
+        return y * _rows_mask(tile, k0, 0, K) if k0 + tile > K else y
+
+    if left > 0:
+        h_buf[:left, :] = jnp.zeros((left, H), cdtype)
+        # st halo must be finite: hn1_read computes before masking, and
+        # NaN * 0 would poison the edge tiles
+        st_buf[:left, :] = jnp.zeros((left, 128), jnp.float32)
+    if (P - 1) * d - left > 0:
+        h_buf[left + Kp:, :] = jnp.zeros(((P - 1) * d - left, H), cdtype)
+        st_buf[left + Kp:, :] = jnp.zeros(
+            ((P - 1) * d - left, 128), jnp.float32)
+    if pad_l > 0:
+        c_buf[:pad_l, :] = jnp.zeros((pad_l, H), cdtype)
+    if (P - 1) * d - pad_l > 0:
+        c_buf[pad_l + Kp:, :] = jnp.zeros(((P - 1) * d - pad_l, H), cdtype)
+
+    # ---- P1: recompute h_pre; per-row cLN1 stats -> st_buf ----
+    for t in range(n_tiles):
+        k0 = t * tile
+        xt = x_ref[0, pl.ds(k0, tile), :]
+        hp = jnp.dot(xt, w_in, preferred_element_type=jnp.float32)
+        hp = maybe_mask(hp, k0)
+        h1 = prelu(hp, a1)
+        mu = jnp.sum(h1, axis=1, keepdims=True) * inv_h          # [tile, 1]
+        var = jnp.sum(h1 * h1, axis=1, keepdims=True) * inv_h - mu * mu
+        rs = jax.lax.rsqrt(var + EPS)
+        h_buf[pl.ds(left + k0, tile), :] = hp.astype(cdtype)
+        st_buf[pl.ds(left + k0, tile), :] = jnp.concatenate(
+            [mu, rs, jnp.zeros((tile, 126), jnp.float32)], axis=1)
+
+    def hn1_read(k0, p, edge: bool):
+        """cLN1-normalized h1 rows [k0 + p*d, +tile) (absolute h_buf space);
+        out-of-range rows masked to the zero-padding the unfused math sees."""
+        h1 = prelu(h_buf[pl.ds(k0 + p * d, tile), :].astype(jnp.float32), a1)
+        st = st_buf[pl.ds(k0 + p * d, tile), :]
+        hn = g1 * ((h1 - st[:, 0:1]) * st[:, 1:2]) + b1
+        if edge:
+            hn = hn * _rows_mask(tile, k0, p * d - left, K)
+        return hn
+
+    def edge_tile(k0):
+        return (k0 - left < 0) or (k0 + tile - 1 + (P - 1) * d - left >= K)
+
+    # ---- P2: dhn2 -> dh2 -> dc (row-local cLN2 backward), dW_out ----
+    dg2 = jnp.zeros((1, H), jnp.float32)
+    db2 = jnp.zeros((1, H), jnp.float32)
+    da2 = jnp.zeros((1, H), jnp.float32)
+    dwout_acc = jnp.zeros(dwout_ref.shape, jnp.float32)
+    for t in range(n_tiles):
+        k0 = t * tile
+        edge = edge_tile(k0)
+        c = None
+        for p in range(P):
+            term = hn1_read(k0, p, edge) * dw[p:p + 1, :]
+            c = term if c is None else c + term
+        c = maybe_mask(c, k0)
+        h2 = prelu(c, a2)
+        mu2 = jnp.sum(h2, axis=1, keepdims=True) * inv_h
+        var2 = jnp.sum(h2 * h2, axis=1, keepdims=True) * inv_h - mu2 * mu2
+        rs2 = jax.lax.rsqrt(var2 + EPS)
+        hhat2 = (h2 - mu2) * rs2
+        gt = g_ref[0, pl.ds(k0, tile), :]
+        dhn2 = jax.lax.dot_general(
+            gt, w_out, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        hn2 = g2 * hhat2 + b2
+        dwout_acc += jax.lax.dot_general(
+            hn2.astype(cdtype), gt, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dg2 += jnp.sum(dhn2 * hhat2, axis=0, keepdims=True)
+        db2 += jnp.sum(dhn2, axis=0, keepdims=True)
+        gdh = g2 * dhn2
+        m1r = jnp.sum(gdh, axis=1, keepdims=True) * inv_h
+        m2r = jnp.sum(gdh * hhat2, axis=1, keepdims=True) * inv_h
+        dh2 = rs2 * (gdh - m1r - hhat2 * m2r)
+        dh2 = maybe_mask(dh2, k0)
+        da2 += jnp.sum(dh2 * jnp.minimum(c, 0.0), axis=0, keepdims=True)
+        dc = dh2 * jnp.where(c >= 0, 1.0, a2)
+        c_buf[pl.ds(pad_l + k0, tile), :] = dc.astype(cdtype)
+
+    # ---- P3: conv transpose -> dh1 -> dx / dW_in (all row-local) ----
+    dg1 = jnp.zeros((1, H), jnp.float32)
+    db1 = jnp.zeros((1, H), jnp.float32)
+    da1 = jnp.zeros((1, H), jnp.float32)
+    ddw = [jnp.zeros((1, H), jnp.float32) for _ in range(P)]
+    dwin_acc = jnp.zeros(dwin_ref.shape, jnp.float32)
+    for t in range(n_tiles):
+        k0 = t * tile
+        edge = edge_tile(k0)
+        dc_t = c_buf[pl.ds(pad_l + k0, tile), :].astype(jnp.float32)
+        acc = None
+        for p in range(P):
+            seg = c_buf[pl.ds(k0 + (P - 1 - p) * d, tile), :].astype(
+                jnp.float32)
+            term = seg * dw[p:p + 1, :]
+            acc = term if acc is None else acc + term
+            ddw[p] += jnp.sum(dc_t * hn1_read(k0, p, edge), axis=0,
+                              keepdims=True)
+        dhn1 = maybe_mask(acc, k0)
+        hp = h_buf[pl.ds(left + k0, tile), :].astype(jnp.float32)
+        st = st_buf[pl.ds(left + k0, tile), :]
+        hhat1 = (prelu(hp, a1) - st[:, 0:1]) * st[:, 1:2]
+        dg1 += jnp.sum(dhn1 * hhat1, axis=0, keepdims=True)
+        db1 += jnp.sum(dhn1, axis=0, keepdims=True)
+        gdh = g1 * dhn1
+        m1r = jnp.sum(gdh, axis=1, keepdims=True) * inv_h
+        m2r = jnp.sum(gdh * hhat1, axis=1, keepdims=True) * inv_h
+        dh1 = st[:, 1:2] * (gdh - m1r - hhat1 * m2r)
+        dh1 = maybe_mask(dh1, k0)
+        da1 += jnp.sum(dh1 * jnp.minimum(hp, 0.0), axis=0, keepdims=True)
+        dhp = (dh1 * jnp.where(hp >= 0, 1.0, a1)).astype(cdtype)
+        xt = x_ref[0, pl.ds(k0, tile), :]
+        dx = jax.lax.dot_general(
+            dhp, w_in, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        gt = g_ref[0, pl.ds(k0, tile), :]
+        dx_ref[0, pl.ds(k0, tile), :] = (
+            gt.astype(jnp.float32) + dx).astype(dx_ref.dtype)
+        dwin_acc += jax.lax.dot_general(
+            xt, dhp, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    zrow = jnp.zeros((1, H), jnp.float32)
+    aux = jnp.concatenate(
+        ddw + [zrow] * (8 - P)
+        + [dg1, db1, dg2, db2, da1, da2, zrow, zrow], axis=0)
+
+    @pl.when(m == 0)
+    def _():
+        dwin_ref[:] = dwin_acc
+        dwout_ref[:] = dwout_acc
+        daux_ref[:] = aux
+
+    @pl.when(m != 0)
+    def _():
+        dwin_ref[:] = dwin_ref[:] + dwin_acc
+        dwout_ref[:] = dwout_ref[:] + dwout_acc
+        daux_ref[:] = daux_ref[:] + aux
+
+
 def fused_tcn_block_bwd(
     x: jax.Array,            # [M, K, B] block input (the only residual)
     g: jax.Array,            # [M, K, B] cotangent of the block output
@@ -326,22 +522,27 @@ def fused_tcn_block_bwd(
     *,
     dilation: int,
     causal: bool,
+    norm_type: str = "gLN",
     tile: int = 1600,
     interpret: bool = False,
     store_e: bool = True,
 ) -> Tuple[jax.Array, ...]:
-    """Fused backward of one gLN TCN block.
+    """Fused backward of one TCN block (gLN or cLN).
 
     Returns ``(dx, dW_in, d_dw, dW_out, da1, da2, dγ1, dβ1, dγ2, dβ2)`` with
-    dtypes matching the primals. ``store_e``: park dhn2 = g @ W_outᵀ in a
-    [Kp, H] VMEM scratch between P3 and P4 (default) vs recompute that
-    matmul in P4 (smaller VMEM footprint; the MXU is far from saturated in
-    this kernel so the extra matmul is nearly free when VMEM is tight).
+    dtypes matching the primals. ``store_e`` (gLN only): park
+    dhn2 = g @ W_outᵀ in a [Kp, H] VMEM scratch between P3 and P4 (default)
+    vs recompute that matmul in P4 (smaller VMEM footprint; the MXU is far
+    from saturated in this kernel so the extra matmul is nearly free when
+    VMEM is tight). The cLN variant has a single shape (row-local stats
+    need no second pass).
     """
     M, K, B = x.shape
     H = w_in.shape[1]
     P = dw.shape[0]
     assert P <= 8, "daux layout packs d_dw rows 0..7"
+    if norm_type not in ("gLN", "cLN"):
+        raise ValueError("fused backward supports gLN and cLN only")
     Kp = _round_up(K, tile)
     if Kp != K:
         pad = ((0, 0), (0, Kp - K), (0, 0))
@@ -355,9 +556,14 @@ def fused_tcn_block_bwd(
     ])
     scal = jnp.reshape(jnp.stack([a1, a2]).astype(jnp.float32), (1, 2))
 
-    kernel = functools.partial(
-        _bwd_kernel, K=K, tile=tile, dilation=dilation, conv_kernel=P,
-        causal=causal, store_e=store_e)
+    if norm_type == "cLN":
+        kernel = functools.partial(
+            _bwd_kernel_cln, K=K, tile=tile, dilation=dilation,
+            conv_kernel=P, causal=causal)
+    else:
+        kernel = functools.partial(
+            _bwd_kernel, K=K, tile=tile, dilation=dilation, conv_kernel=P,
+            causal=causal, store_e=store_e)
     halo = (P - 1) * dilation
     # 5 tile-level matmuls (P1, P3 x2, P6 x2) + the VPU conv/transpose work
     flops = 5 * 2 * M * Kp * B * H + M * Kp * H * (4 * P + 40)
@@ -389,9 +595,12 @@ def fused_tcn_block_bwd(
             jax.ShapeDtypeStruct((16, H), jnp.float32),
         ),
         scratch_shapes=(
-            [pltpu.VMEM((halo + Kp, H), cdtype),
-             pltpu.VMEM((halo + Kp, H), cdtype)]
-            + ([pltpu.VMEM((Kp, H), cdtype)] if store_e else [])
+            [pltpu.VMEM((halo + Kp, H), cdtype)]
+            + ([pltpu.VMEM((halo + Kp, 128), jnp.float32)]
+               if norm_type == "cLN" else [])
+            + [pltpu.VMEM((halo + Kp, H), cdtype)]
+            + ([pltpu.VMEM((Kp, H), cdtype)]
+               if (norm_type == "gLN" and store_e) else [])
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,

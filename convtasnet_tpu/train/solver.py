@@ -211,6 +211,14 @@ class Solver:
         for batch in self.cv_loader:
             if self._interrupted:
                 break
+            if self.cfg.model.use_pallas:
+                # cv utterances come in their own padded shapes — probe each
+                # before the jit so an unsupported (dilation, shape) degrades
+                # that block to XLA instead of failing the eval_step compile
+                from convtasnet_tpu.ops.pallas.tcn_block import ensure_probed
+
+                ensure_probed(self.cfg.model, batch[0].shape[0],
+                              batch[0].shape[1], verbose=False)
             loss = self.eval_step(self.state, batch)
             total += float(loss)
             count += 1

@@ -93,6 +93,7 @@ def main(argv=None) -> int:
     ap.add_argument("--mask-nonlinear", default="relu")
     ap.add_argument("--steps-per-call", type=int, default=1)
     ap.add_argument("--sample-rate", type=int, default=8000)
+    ap.add_argument("--use-pallas", type=int, default=0)
     a = ap.parse_args(argv)
     sr = a.sample_rate
 
@@ -122,6 +123,7 @@ def main(argv=None) -> int:
         "--epochs", str(a.epochs), "--lr", str(a.lr),
         "--print-freq", "5", "--compute-dtype", "bfloat16",
         "--steps-per-call", str(a.steps_per_call),
+        "--use-pallas", str(a.use_pallas),
     ])
     from convtasnet_tpu.infer.evaluate import evaluate
 

@@ -94,10 +94,14 @@ def test_fused_block_pads_k():
                                rtol=2e-2, atol=2e-2)
 
 
-@pytest.mark.parametrize("dilation,causal", [(1, False), (4, False), (2, True)])
-@pytest.mark.parametrize("store_e", [True, False])
-def test_fused_backward_kernel_matches_autodiff(dilation, causal, store_e):
-    """Single-kernel fused backward (gLN) vs jax.vjp of the XLA block math,
+@pytest.mark.parametrize("norm_type,dilation,causal,store_e", [
+    ("gLN", 1, False, True), ("gLN", 4, False, True),
+    ("gLN", 4, False, False), ("gLN", 2, True, True),
+    ("cLN", 1, False, True), ("cLN", 4, False, True), ("cLN", 2, True, True),
+])
+def test_fused_backward_kernel_matches_autodiff(norm_type, dilation, causal,
+                                                store_e):
+    """Single-kernel fused backward vs jax.vjp of the XLA block math,
     every cotangent (dx + all 9 weight/affine/slope grads)."""
     from convtasnet_tpu.ops.pallas.tcn_block_bwd import fused_tcn_block_bwd
 
@@ -114,13 +118,13 @@ def test_fused_backward_kernel_matches_autodiff(dilation, causal, store_e):
 
     def block(xx, w_in, dw, w_out, a1, a2, g1, b1, g2, b2):
         return _xla_block(xx, w_in, dw, w_out, a1, a2, g1, b1, g2, b2,
-                          dilation, causal, "gLN")
+                          dilation, causal, norm_type)
 
     _, vjp = jax.vjp(block, x, *args)
     want = vjp(g)
     got = fused_tcn_block_bwd(
-        x, g, *args, dilation=dilation, causal=causal, tile=128,
-        interpret=True, store_e=store_e)
+        x, g, *args, dilation=dilation, causal=causal, norm_type=norm_type,
+        tile=128, interpret=True, store_e=store_e)
     assert len(got) == 10
     for name, w, q in zip(
             ["dx", "dW_in", "d_dw", "dW_out", "da1", "da2",
@@ -132,7 +136,8 @@ def test_fused_backward_kernel_matches_autodiff(dilation, causal, store_e):
                                    err_msg=name)
 
 
-def test_fused_ad_train_path_gradients():
+@pytest.mark.parametrize("norm_type,causal", [("gLN", False), ("cLN", True)])
+def test_fused_ad_train_path_gradients(norm_type, causal):
     """Whole-model loss gradients: fused train path (Pallas fwd + fused bwd,
     interpret) vs plain XLA autodiff."""
     import dataclasses
@@ -141,7 +146,8 @@ def test_fused_ad_train_path_gradients():
 
     base = ConvTasNetConfig(
         n_filters=32, kernel_size=16, bottleneck=128, hidden=256,
-        conv_kernel=3, num_blocks=2, num_repeats=1, num_speakers=2)
+        conv_kernel=3, num_blocks=2, num_repeats=1, num_speakers=2,
+        norm_type=norm_type, causal=causal)
     variables = init_params(base, jax.random.PRNGKey(0), example_len=2000)
     mix = jax.random.normal(jax.random.PRNGKey(1), (2, 2000))
     tgt = jax.random.normal(jax.random.PRNGKey(2), (2, 2, 2000))
