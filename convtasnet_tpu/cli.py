@@ -57,7 +57,11 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     g.add_argument("--compute-dtype",
                    default=ConvTasNetConfig.compute_dtype,
                    choices=["float32", "bfloat16"])
-    g.add_argument("--use-pallas", type=int, default=0)
+    g.add_argument("--use-pallas", type=int, default=-1, choices=[-1, 0, 1],
+                   help="fused TCN kernels for training: -1 auto (on for "
+                        "real accelerators; per-dilation probe races the "
+                        "fused fwd+bwd against XLA autodiff and keeps the "
+                        "winner), 0 off, 1 on")
 
 
 def _add_data_flags(p: argparse.ArgumentParser) -> None:
@@ -94,13 +98,17 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
 
 
 def _cfg_from_args(a: argparse.Namespace) -> TrainConfig:
+    import jax
+
     return TrainConfig(
         model=ConvTasNetConfig(
             n_filters=a.N, kernel_size=a.L, bottleneck=a.B, hidden=a.H,
             conv_kernel=a.P, num_blocks=a.X, num_repeats=a.R,
             num_speakers=a.C, norm_type=a.norm_type, causal=bool(a.causal),
             mask_nonlinear=a.mask_nonlinear, sample_rate=a.sample_rate,
-            compute_dtype=a.compute_dtype, use_pallas=bool(a.use_pallas)),
+            compute_dtype=a.compute_dtype,
+            use_pallas=(jax.default_backend() != "cpu"
+                        if a.use_pallas < 0 else bool(a.use_pallas))),
         data=DataConfig(
             train_dir=getattr(a, "train_dir", ""),
             valid_dir=getattr(a, "valid_dir", ""),
