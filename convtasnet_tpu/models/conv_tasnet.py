@@ -196,6 +196,7 @@ class TemporalBlock(nn.Module):
                 fused_block_bwd_ready,
                 fused_block_ready,
                 fused_tcn_block_ad,
+                variant_params,
             )
 
             interpret = jax.default_backend() == "cpu"
@@ -204,14 +205,13 @@ class TemporalBlock(nn.Module):
             bwd_variant = fused_block_bwd_ready(
                 self.dilation, cfg.norm_type, cfg.causal, interpret)
             if fwd_variant is not None and bwd_variant is not None:
-                store_h2 = (None if fwd_variant == "auto"
-                            else fwd_variant == "store")
+                store_h2, h_dtype = variant_params(fwd_variant)
                 return fused_tcn_block_ad(
                     x, w_in, w_dw, w_out, a1, a2,
                     norm1.gamma, norm1.beta, norm2.gamma, norm2.beta,
                     dilation=self.dilation, causal=cfg.causal,
                     norm_type=cfg.norm_type, store_h2=store_h2,
-                    bwd=bwd_variant, interpret=interpret)
+                    h_dtype=h_dtype, bwd=bwd_variant, interpret=interpret)
 
         if cfg.use_pallas and not train and x.ndim == 3:
             # Fused single-kernel block (inference path, ops/pallas/tcn_block.py).
@@ -223,6 +223,7 @@ class TemporalBlock(nn.Module):
             from convtasnet_tpu.ops.pallas.tcn_block import (
                 fused_block_ready,
                 fused_tcn_block,
+                variant_params,
             )
 
             interpret = jax.default_backend() == "cpu"
@@ -233,13 +234,13 @@ class TemporalBlock(nn.Module):
                 if cfg.norm_type == "BN":
                     bn_stats = (norm1.ra_mean.value, norm1.ra_var.value,
                                 norm2.ra_mean.value, norm2.ra_var.value)
-                store_h2 = None if variant == "auto" else (variant == "store")
+                store_h2, h_dtype = variant_params(variant)
                 return fused_tcn_block(
                     x, w_in, w_dw, w_out, a1, a2,
                     norm1.gamma, norm1.beta, norm2.gamma, norm2.beta,
                     dilation=self.dilation, causal=cfg.causal,
                     norm_type=cfg.norm_type, bn_stats=bn_stats,
-                    store_h2=store_h2, interpret=interpret)
+                    store_h2=store_h2, h_dtype=h_dtype, interpret=interpret)
 
         blk = {"conv1x1": w_in, "prelu1": a1, "dwconv": w_dw,
                "prelu2": a2, "pwconv": w_out}

@@ -293,12 +293,19 @@ def fused_tcn_block(
     tile: int = 1600,
     interpret: bool = False,
     store_h2: Optional[bool] = None,
+    h_dtype=None,
 ) -> jax.Array:
     """Fused forward of one TCN block. Returns [M, K, B] (same dtype as x).
 
     ``store_h2``: for gLN, park the conv output in a second [Kp, H] scratch
     (faster) vs recompute it in the normalize pass (smaller VMEM footprint).
     None = auto: store while the kernel's working set stays under ~12 MB.
+
+    ``h_dtype``: dtype of the VMEM activation scratches (default: x.dtype).
+    ``jnp.float32`` trades 2x scratch footprint/bandwidth for dropping the
+    bf16<->f32 converts on every conv-tap read and scratch store — the
+    kernel is VPU-bound, so which side wins is shape-dependent; the probe
+    races both (``*_f32`` variants).
     """
     M, K, B = x.shape
     H = w_in.shape[1]
@@ -323,11 +330,12 @@ def fused_tcn_block(
     scal = jnp.reshape(jnp.stack([a1, a2]).astype(jnp.float32), (1, 2))
 
     cdtype = x.dtype
+    sdtype = jnp.dtype(h_dtype) if h_dtype is not None else jnp.dtype(cdtype)
     itemsize = jnp.dtype(cdtype).itemsize
     if store_h2 is None:
         # working set: pipelined in/out blocks (2x2 KpxB) + h_buf + h2 + weights
-        footprint = (4 * Kp * B + (left + Kp + right) * H + Kp * H + 2 * B * H) \
-            * itemsize
+        footprint = (4 * Kp * B + 2 * B * H) * itemsize \
+            + ((left + Kp + right) * H + Kp * H) * sdtype.itemsize
         store_h2 = footprint < 12 * 1024 * 1024
     kernel = functools.partial(
         _kernel, K=K, tile=tile, dilation=dilation, conv_kernel=P,
@@ -348,13 +356,12 @@ def fused_tcn_block(
         out_specs=pl.BlockSpec((1, Kp, B), lambda m: (m, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, Kp, B), cdtype),
-        # Scratch follows the compute dtype: bf16 in production (paper
-        # config), f32 for f32-compute models — which makes the fused
-        # forward bit-consistent with the f32 recompute in the fused
-        # backward kernel (tcn_block_bwd.py), i.e. exact training grads.
+        # Scratch defaults to the compute dtype (bf16 in production, f32 for
+        # f32-compute models); ``h_dtype`` can force f32 scratches for bf16
+        # compute (the ``*_f32`` autotune variants).
         scratch_shapes=(
-            [pltpu.VMEM((left + Kp + right, H), cdtype)]
-            + ([pltpu.VMEM((Kp, H), cdtype)]
+            [pltpu.VMEM((left + Kp + right, H), sdtype)]
+            + ([pltpu.VMEM((Kp, H), sdtype)]
                if (norm_type == "gLN" and store_h2) else [])
         ),
         cost_estimate=pl.CostEstimate(
@@ -420,12 +427,13 @@ def _xla_block(static, x, w_in, dw, w_out, a1, a2,
 def _pallas_forward(static, x, w_in, dw, w_out, a1, a2,
                     g1, b1, g2, b2, m1, v1, m2, v2):
     dilation, causal, norm_type, tile, interpret, store_h2 = static[:6]
+    h_dtype = static[7] if len(static) > 7 else None
     bn_stats = (m1, v1, m2, v2) if norm_type == "BN" else None
     return fused_tcn_block(
         x, w_in, dw, w_out, a1, a2, g1, b1, g2, b2,
         dilation=dilation, causal=causal, norm_type=norm_type,
         bn_stats=bn_stats, tile=tile, interpret=interpret,
-        store_h2=store_h2)
+        store_h2=store_h2, h_dtype=h_dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -450,11 +458,13 @@ def _fused_block_bwd(static, residuals, g):
         from convtasnet_tpu.ops.pallas.tcn_block_bwd import fused_tcn_block_bwd
 
         dilation, causal, norm_type, tile, interpret = static[:5]
+        store_e, s_dtype = variant_params(bwd)
         x, w_in, dw, w_out, a1, a2, g1, b1, g2, b2, m1, v1, m2, v2 = residuals
         grads = fused_tcn_block_bwd(
             x, g, w_in, dw, w_out, a1, a2, g1, b1, g2, b2,
             dilation=dilation, causal=causal, norm_type=norm_type,
-            tile=tile, interpret=interpret, store_e=(bwd == "store"))
+            tile=tile, interpret=interpret,
+            store_e=bool(store_e), s_dtype=s_dtype)
         return grads + tuple(jnp.zeros_like(s) for s in (m1, v1, m2, v2))
     _, vjp = jax.vjp(lambda *a: _xla_block(static, *a), *residuals)
     return vjp(g)
@@ -474,6 +484,7 @@ def fused_tcn_block_ad(
     interpret: bool = False,
     store_h2: Optional[bool] = None,
     bwd: Optional[str] = None,
+    h_dtype=None,
 ):
     """Differentiable fused block: Pallas forward + selectable backward.
 
@@ -482,14 +493,16 @@ def fused_tcn_block_ad(
 
     - ``None``        — rematerialize through XLA math and autodiff it
       (works for every norm type; slower than plain XLA autodiff);
-    - ``"store"`` / ``"recompute"`` — the fused single-kernel backward
-      (gLN only; the variant names its dhn2 scratch strategy). Use
+    - ``"store"`` / ``"recompute"`` (+ optional ``"_f32"`` suffix for f32
+      VMEM scratches) — the fused single-kernel backward (gLN/cLN; the
+      base name picks the dhn2 scratch strategy). Use
       ``ensure_probed_train`` / ``fused_block_bwd_ready`` to pick this
       safely on a real backend.
     """
     if bwd is not None and norm_type not in ("gLN", "cLN"):
         raise ValueError("fused backward kernel supports gLN/cLN only")
-    static = (dilation, causal, norm_type, tile, interpret, store_h2, bwd)
+    static = (dilation, causal, norm_type, tile, interpret, store_h2, bwd,
+              h_dtype)
     H = w_in.shape[1]
     if norm_type == "BN":
         m1, v1, m2, v2 = [s.astype(jnp.float32) for s in bn_stats]
@@ -505,9 +518,19 @@ def fused_tcn_block_ad(
 # Per-dilation autotuning registry.
 # --------------------------------------------------------------------------
 
-# (dilation, norm_type, causal) -> "store" | "recompute" | None (=XLA).
+# (dilation, norm_type, causal) -> "store" | "recompute" (+ optional
+# "_f32" suffix = f32 VMEM scratches) | None (=XLA).
 # Populated by probe_fused_block.
 _FUSED_READY: dict = {}
+
+
+def variant_params(variant):
+    """Decode a probe-registry variant name to ``(store_h2, h_dtype)``
+    kwargs for ``fused_tcn_block(_ad)``. ``None``/"auto" -> auto."""
+    if variant in (None, "auto"):
+        return None, None
+    base, _, suffix = variant.partition("_")
+    return base == "store", (jnp.float32 if suffix == "f32" else None)
 
 
 def fused_block_ready(dilation: int, norm_type: str, causal: bool,
@@ -645,17 +668,21 @@ def probe_fused_block(
         return lambda xx: _xla_block(static, xx, w_in, dw, w_out, a, a,
                                      g1, gb, g1, gb, gb, g1, gb, g1)
 
-    variants = [("store", True), ("recompute", False)]
+    variants = [("store", True, None), ("recompute", False, None)]
     if norm_type != "gLN":
-        variants = [("store", True)]  # store_h2 only affects the gLN path
+        variants = [("store", True, None)]  # store_h2 is gLN-only
+    if jnp.dtype(dtype) == jnp.bfloat16:
+        # f32-scratch twins: drop the bf16<->f32 converts on scratch traffic
+        # at 2x the VMEM footprint/bandwidth; the race decides per dilation.
+        variants += [(n + "_f32", s, jnp.float32) for n, s, _ in variants]
 
     for d in sorted(set(int(d) for d in dilations)):
         compiled = {}
-        for name, store in variants:
+        for name, store, h_dt in variants:
             fn = functools.partial(
                 fused_tcn_block, dilation=d, causal=causal,
                 norm_type=norm_type, bn_stats=bn, tile=tile,
-                interpret=interpret, store_h2=store)
+                interpret=interpret, store_h2=store, h_dtype=h_dt)
             err = None
             for _ in range(retries + 1):
                 try:
@@ -777,16 +804,21 @@ def probe_fused_block_train(
         return f
 
     bwd_variants = ("store", "recompute") if norm_type == "gLN" else ("store",)
+    if jnp.dtype(dtype) == jnp.bfloat16:
+        # f32-scratch twins (see probe_fused_block); matmul operands stay
+        # bf16, only the VMEM activation scratches widen.
+        bwd_variants = bwd_variants + tuple(v + "_f32" for v in bwd_variants)
     for d in sorted(set(int(d) for d in dilations)):
         static = (d, causal, norm_type, tile, False)
         xla10 = lambda *args: _xla_block(static, *args, gb, g1, gb, g1)  # noqa: E731
         fwd_variant = _FUSED_READY.get((d, norm_type, causal))
-        store_h2 = None if fwd_variant is None else (fwd_variant == "store")
+        store_h2, h_dt = variant_params(fwd_variant)
         candidates = {}
         for bwd in bwd_variants:
             fn = grad_fn(functools.partial(
                 fused_tcn_block_ad, dilation=d, causal=causal,
-                norm_type=norm_type, tile=tile, store_h2=store_h2, bwd=bwd))
+                norm_type=norm_type, tile=tile, store_h2=store_h2,
+                h_dtype=h_dt, bwd=bwd))
             err = None
             for _ in range(retries + 1):
                 try:

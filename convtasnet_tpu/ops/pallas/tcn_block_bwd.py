@@ -105,6 +105,10 @@ def _bwd_kernel(
     a1 = scal_ref[0, 0]
     a2 = scal_ref[0, 1]
     inv_n = 1.0 / (K * H)
+    # matmul-operand dtype (bf16 keeps the MXU at full rate) vs scratch
+    # dtype (h_buf/c_buf/e_buf may be f32 — the *_f32 probe variants — to
+    # drop the converts on scratch traffic)
+    mdtype = x_ref.dtype
     cdtype = h_buf.dtype
 
     w_in = w_in_ref[:]
@@ -211,7 +215,7 @@ def _bwd_kernel(
         hhat2 = (h2 - mean2) * rs2
         hn2 = g2 * hhat2 + b2
         dwout_acc += jax.lax.dot_general(
-            hn2.astype(cdtype), gt, (((0,), (0,)), ((), ())),
+            hn2.astype(mdtype), gt, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         gdh = g2 * dhn2
         t1 += jnp.sum(gdh)
@@ -219,7 +223,7 @@ def _bwd_kernel(
         dg2 += jnp.sum(dhn2 * hhat2, axis=0, keepdims=True)
         db2 += jnp.sum(dhn2, axis=0, keepdims=True)
         if store_e:
-            e_buf[pl.ds(k0, tile), :] = dhn2.astype(cdtype)
+            e_buf[pl.ds(k0, tile), :] = dhn2.astype(e_buf.dtype)
     t1n = t1 * inv_n
     t2n = t2 * inv_n
 
@@ -287,7 +291,7 @@ def _bwd_kernel(
         dh1 = rs1 * (g1 * dhn1 - u1n - hhat1 * u2n)
         dh1 = maybe_mask(dh1, k0)
         da1 += jnp.sum(dh1 * jnp.minimum(hp, 0.0), axis=0, keepdims=True)
-        dhp = (dh1 * jnp.where(hp >= 0, 1.0, a1)).astype(cdtype)
+        dhp = (dh1 * jnp.where(hp >= 0, 1.0, a1)).astype(mdtype)
         x = x_ref[0, pl.ds(k0, tile), :]
         dx = jax.lax.dot_general(
             dhp, w_in, (((1,), (1,)), ((), ())),
@@ -356,6 +360,7 @@ def _bwd_kernel_cln(
     a1 = scal_ref[0, 0]
     a2 = scal_ref[0, 1]
     inv_h = 1.0 / H
+    mdtype = x_ref.dtype
     cdtype = h_buf.dtype
 
     w_in = w_in_ref[:]
@@ -437,7 +442,7 @@ def _bwd_kernel_cln(
             preferred_element_type=jnp.float32)
         hn2 = g2 * hhat2 + b2
         dwout_acc += jax.lax.dot_general(
-            hn2.astype(cdtype), gt, (((0,), (0,)), ((), ())),
+            hn2.astype(mdtype), gt, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dg2 += jnp.sum(dhn2 * hhat2, axis=0, keepdims=True)
         db2 += jnp.sum(dhn2, axis=0, keepdims=True)
@@ -480,7 +485,7 @@ def _bwd_kernel_cln(
         dh1 = st[:, 1:2] * (gdh - m1r - hhat1 * m2r)
         dh1 = maybe_mask(dh1, k0)
         da1 += jnp.sum(dh1 * jnp.minimum(hp, 0.0), axis=0, keepdims=True)
-        dhp = (dh1 * jnp.where(hp >= 0, 1.0, a1)).astype(cdtype)
+        dhp = (dh1 * jnp.where(hp >= 0, 1.0, a1)).astype(mdtype)
         xt = x_ref[0, pl.ds(k0, tile), :]
         dx = jax.lax.dot_general(
             dhp, w_in, (((1,), (1,)), ((), ())),
@@ -526,6 +531,7 @@ def fused_tcn_block_bwd(
     tile: int = 1600,
     interpret: bool = False,
     store_e: bool = True,
+    s_dtype=None,
 ) -> Tuple[jax.Array, ...]:
     """Fused backward of one TCN block (gLN or cLN).
 
@@ -535,7 +541,10 @@ def fused_tcn_block_bwd(
     vs recompute that matmul in P4 (smaller VMEM footprint; the MXU is far
     from saturated in this kernel so the extra matmul is nearly free when
     VMEM is tight). The cLN variant has a single shape (row-local stats
-    need no second pass).
+    need no second pass). ``s_dtype``: dtype of the activation scratches
+    (default x.dtype); f32 under bf16 compute drops the converts on scratch
+    traffic (the ``*_f32`` train-probe variants) — matmul operands stay in
+    x.dtype either way so the MXU runs at full rate.
     """
     M, K, B = x.shape
     H = w_in.shape[1]
@@ -549,6 +558,7 @@ def fused_tcn_block_bwd(
         x = jnp.pad(x, pad)
         g = jnp.pad(g, pad)
     cdtype = x.dtype
+    sdtype = jnp.dtype(s_dtype) if s_dtype is not None else jnp.dtype(cdtype)
 
     aff = jnp.stack([
         gamma1.astype(jnp.float32), beta1.astype(jnp.float32),
@@ -595,11 +605,11 @@ def fused_tcn_block_bwd(
             jax.ShapeDtypeStruct((16, H), jnp.float32),
         ),
         scratch_shapes=(
-            [pltpu.VMEM((halo + Kp, H), cdtype)]
+            [pltpu.VMEM((halo + Kp, H), sdtype)]
             + ([pltpu.VMEM((halo + Kp, 128), jnp.float32)]
                if norm_type == "cLN" else [])
-            + [pltpu.VMEM((halo + Kp, H), cdtype)]
-            + ([pltpu.VMEM((Kp, H), cdtype)]
+            + [pltpu.VMEM((halo + Kp, H), sdtype)]
+            + ([pltpu.VMEM((Kp, H), sdtype)]
                if (norm_type == "gLN" and store_e) else [])
         ),
         cost_estimate=pl.CostEstimate(

@@ -77,6 +77,43 @@ def test_fused_block_matches_xla(norm_type, dilation, causal):
     assert np.corrcoef(g, w)[0, 1] > 0.9999
 
 
+@pytest.mark.parametrize("norm_type", ["gLN", "cLN"])
+@pytest.mark.parametrize("store_h2", [True, False])
+def test_fused_block_f32_scratch(norm_type, store_h2):
+    """The *_f32 autotune variants (f32 VMEM scratches under bf16 compute)
+    match the XLA block at least as tightly as the bf16-scratch kernel."""
+    M, K, B, H, P = 2, 256, 128, 256, 3
+    p = _params(B, H, P, seed=4)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((M, K, B)), jnp.bfloat16)
+    args = [jnp.asarray(v, jnp.bfloat16) for v in
+            (p["w_in"], p["dw"], p["w_out"])] + [
+        jnp.asarray(p["a1"]), jnp.asarray(p["a2"]),
+        jnp.asarray(p["g1"]), jnp.asarray(p["b1"]),
+        jnp.asarray(p["g2"]), jnp.asarray(p["b2"])]
+    got = fused_tcn_block(
+        x, *args, dilation=4, causal=False, norm_type=norm_type,
+        tile=128, interpret=True, store_h2=store_h2, h_dtype=jnp.float32)
+    want = _xla_block(
+        x.astype(jnp.float32), *[a.astype(jnp.float32) for a in args],
+        4, False, norm_type)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), rtol=5e-2, atol=5e-2)
+    g, w = np.asarray(got, np.float32).ravel(), np.asarray(want).ravel()
+    assert np.corrcoef(g, w)[0, 1] > 0.999
+
+
+def test_variant_params_decode():
+    from convtasnet_tpu.ops.pallas.tcn_block import variant_params
+
+    assert variant_params(None) == (None, None)
+    assert variant_params("auto") == (None, None)
+    assert variant_params("store") == (True, None)
+    assert variant_params("recompute") == (False, None)
+    assert variant_params("store_f32") == (True, jnp.float32)
+    assert variant_params("recompute_f32") == (False, jnp.float32)
+
+
 def test_fused_block_pads_k():
     """K not a multiple of the tile gets padded and un-padded correctly."""
     M, K, B, H, P = 1, 333, 128, 256, 3
@@ -94,13 +131,16 @@ def test_fused_block_pads_k():
                                rtol=2e-2, atol=2e-2)
 
 
-@pytest.mark.parametrize("norm_type,dilation,causal,store_e", [
-    ("gLN", 1, False, True), ("gLN", 4, False, True),
-    ("gLN", 4, False, False), ("gLN", 2, True, True),
-    ("cLN", 1, False, True), ("cLN", 4, False, True), ("cLN", 2, True, True),
+@pytest.mark.parametrize("norm_type,dilation,causal,store_e,s_dtype", [
+    ("gLN", 1, False, True, None), ("gLN", 4, False, True, None),
+    ("gLN", 4, False, False, None), ("gLN", 2, True, True, None),
+    ("cLN", 1, False, True, None), ("cLN", 4, False, True, None),
+    ("cLN", 2, True, True, None),
+    ("gLN", 4, False, True, jnp.float32),
+    ("cLN", 4, False, True, jnp.float32),
 ])
 def test_fused_backward_kernel_matches_autodiff(norm_type, dilation, causal,
-                                                store_e):
+                                                store_e, s_dtype):
     """Single-kernel fused backward vs jax.vjp of the XLA block math,
     every cotangent (dx + all 9 weight/affine/slope grads)."""
     from convtasnet_tpu.ops.pallas.tcn_block_bwd import fused_tcn_block_bwd
@@ -124,7 +164,7 @@ def test_fused_backward_kernel_matches_autodiff(norm_type, dilation, causal,
     want = vjp(g)
     got = fused_tcn_block_bwd(
         x, g, *args, dilation=dilation, causal=causal, norm_type=norm_type,
-        tile=128, interpret=True, store_e=store_e)
+        tile=128, interpret=True, store_e=store_e, s_dtype=s_dtype)
     assert len(got) == 10
     for name, w, q in zip(
             ["dx", "dW_in", "d_dw", "dW_out", "da1", "da2",
