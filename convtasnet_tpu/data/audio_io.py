@@ -17,14 +17,16 @@ import numpy as np
 
 
 def read_wav(path: str, sample_rate: Optional[int] = None) -> Tuple[np.ndarray, int]:
-    """Read a WAV (or uncompressed NIST SPHERE) file -> (float32 mono signal
-    in [-1, 1], sample_rate).
+    """Read a WAV (or NIST SPHERE) file -> (float32 mono signal in [-1, 1],
+    sample_rate).
 
     Multi-channel audio is averaged to mono (librosa.load default). If
     ``sample_rate`` is given and differs from the file's rate, the signal is
-    resampled (librosa.load ``sr=`` parity). SPHERE support covers the role
-    of the reference's sph2pipe build (``tools/Makefile:9-11``) for
-    uncompressed files; shorten-compressed corpora still need sph2pipe.
+    resampled (librosa.load ``sr=`` parity). SPHERE support — including
+    shorten-compressed ``.wv1``/``.wv2`` (the WSJ0 distribution format),
+    decoded natively by ``data/shorten.py`` / ``native/shorten.cpp`` —
+    subsumes the reference's external sph2pipe build
+    (``tools/Makefile:9-11``); no external binary is needed.
     """
     with open(path, "rb") as f:
         header = f.read(12)
@@ -108,9 +110,10 @@ def _read_riff(f) -> Tuple[np.ndarray, int]:
 def _read_sphere(f, header12: bytes) -> Tuple[np.ndarray, int]:
     """Parse a NIST SPHERE file (header already partially consumed).
 
-    Supports uncompressed PCM payloads (sample_coding 'pcm'); raises a clear
-    error for shorten-compressed files (WSJ0 distribution default), which
-    need an external sph2pipe conversion.
+    Supports uncompressed PCM payloads (sample_coding 'pcm') and
+    shorten-compressed payloads (the WSJ0 distribution default), the latter
+    decoded natively — C++ fast path (``native/shorten.cpp``) with the pure
+    Python codec (``data/shorten.py``) as fallback.
     """
     rest = f.read(1024 - len(header12))
     head = (header12 + rest).decode("ascii", errors="replace")

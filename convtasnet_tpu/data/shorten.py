@@ -206,6 +206,19 @@ def decode(data: bytes, max_samples: Optional[int] = None
     maxnlpc = br.ulong()
     nmean = br.ulong()
     nskip = br.ulong()
+    # Header sanity (mirrors native/shorten.cpp): a corrupt stream must
+    # raise the documented ValueError, not IndexError/ZeroDivisionError or
+    # an attempted multi-GB allocation from garbage field values.
+    if not 1 <= nchan <= 64:
+        raise ValueError(f"implausible shorten channel count: {nchan}")
+    if not 1 <= blocksize <= (1 << 20):
+        raise ValueError(f"implausible shorten blocksize: {blocksize}")
+    if maxnlpc > 1024:
+        raise ValueError(f"implausible shorten maxnlpc: {maxnlpc}")
+    if nmean > 65536:
+        raise ValueError(f"implausible shorten nmean: {nmean}")
+    if nskip > len(data):
+        raise ValueError(f"implausible shorten nskip: {nskip}")
     skipped = bytes(br.uvar(XBYTESIZE) for _ in range(nskip))
 
     nwrap = max(NWRAP, maxnlpc)
@@ -224,6 +237,9 @@ def decode(data: bytes, max_samples: Optional[int] = None
             break
         if cmd == FN_BLOCKSIZE:
             blocksize = br.ulong()
+            if not 1 <= blocksize <= (1 << 20):
+                raise ValueError(
+                    f"implausible shorten blocksize: {blocksize}")
             continue
         if cmd == FN_BITSHIFT:
             bitshift = br.uvar(BITSHIFTSIZE)

@@ -204,7 +204,12 @@ class TemporalBlock(nn.Module):
                 self.dilation, cfg.norm_type, cfg.causal, interpret)
             bwd_variant = fused_block_bwd_ready(
                 self.dilation, cfg.norm_type, cfg.causal, interpret)
-            if fwd_variant is not None and bwd_variant is not None:
+            # The train probe's verdict is authoritative here: it raced the
+            # full fused fwd+bwd pair against XLA autodiff (with exactly
+            # these forward variant_params), so a recorded backward winner
+            # engages the fused pair even when XLA won the *inference*
+            # forward-only race for this dilation.
+            if bwd_variant is not None:
                 store_h2, h_dtype = variant_params(fwd_variant)
                 return fused_tcn_block_ad(
                     x, w_in, w_dw, w_out, a1, a2,

@@ -648,6 +648,7 @@ def probe_fused_block(
     verbose: bool = False,
     interpret: bool = False,
     autotune: bool = True,
+    verify_only: bool = False,
 ) -> dict:
     """AOT-compile and time the fused kernel variants for each dilation;
     record the fastest implementation (including "none — XLA wins") in the
@@ -661,6 +662,16 @@ def probe_fused_block(
     the fastest wins (per-dilation winners genuinely differ — see
     scripts/bench_block.py). Probing is cheap relative to the full-model
     compile and its kernels stay in the jit cache.
+
+    ``verify_only``: compile-check ONLY each dilation's already-recorded
+    registry winner at this (possibly new) input shape — no timing races.
+    Used when a config was fully autotuned at one shape and a later batch
+    arrives with another (eval/separate batches vary in [M, T]): the winner
+    is assumed shape-stable but its compile at the new shape must still be
+    proven AOT, or a Mosaic failure (e.g. VMEM OOM at a longer K) inside
+    the model's jit would have no per-block fallback. A winner that fails
+    to compile here degrades that dilation to XLA (globally — safe, merely
+    pessimal for other shapes).
     """
     import numpy as _np
 
@@ -691,8 +702,15 @@ def probe_fused_block(
         variants += [(n + "_f32", s, jnp.float32) for n, s, _ in variants]
 
     for d in sorted(set(int(d) for d in dilations)):
+        to_try = variants
+        if verify_only:
+            winner = _FUSED_READY.get((d, norm_type, causal))
+            if winner is None:
+                results[d] = None
+                continue
+            to_try = [(n, s, h) for n, s, h in variants if n == winner]
         compiled = {}
-        for name, store, h_dt in variants:
+        for name, store, h_dt in to_try:
             fn = functools.partial(
                 fused_tcn_block, dilation=d, causal=causal,
                 norm_type=norm_type, bn_stats=bn, tile=tile,
@@ -716,6 +734,13 @@ def probe_fused_block(
                       f"({type(err).__name__})", file=_sys.stderr)
         if not compiled:
             best = None
+            if verify_only and verbose:
+                import sys as _sys
+
+                print(f"pallas probe d={d}: winner failed to compile at "
+                      f"[{batch}, K={K}] -> xla", file=_sys.stderr)
+        elif verify_only:
+            best = next(iter(compiled))
         elif autotune and not interpret:
             best, timed = _race(compiled, xla_fn(d), x, inner=150)
             if verbose:
@@ -737,14 +762,15 @@ def probe_fused_block(
     return results
 
 
-def probe_for_config(cfg, K: int, batch: int, verbose: bool = False) -> dict:
+def probe_for_config(cfg, K: int, batch: int, verbose: bool = False,
+                     verify_only: bool = False) -> dict:
     """Probe every dilation a ``ConvTasNetConfig`` model will use."""
     return probe_fused_block(
         [2 ** i for i in range(cfg.num_blocks)],
         K=K, batch=batch, bottleneck=cfg.bottleneck, hidden=cfg.hidden,
         conv_kernel=cfg.conv_kernel, norm_type=cfg.norm_type,
         causal=cfg.causal, dtype=jnp.dtype(cfg.compute_dtype),
-        verbose=verbose)
+        verbose=verbose, verify_only=verify_only)
 
 
 # (dilation, norm_type, causal) -> "store" | "recompute" | None
@@ -866,21 +892,31 @@ def probe_fused_block_train(
 
 
 _PROBED_SHAPES: set = set()
+_PROBED_CONFIGS: set = set()
 
 
 def ensure_probed(cfg, batch: int, T: int, verbose: bool = True) -> None:
     """Probe all of ``cfg``'s dilations for a concrete [batch, T] input shape
     (idempotent per shape). No-op on the CPU backend (interpret mode needs no
-    Mosaic compile). Call before jitting a model that has ``use_pallas``."""
+    Mosaic compile). Call before jitting a model that has ``use_pallas``.
+
+    The full autotune race runs once per *config*; later shapes of the same
+    config (eval/separate batches vary in [M, T]) only compile-verify the
+    recorded winners (``verify_only``) — through a tunneled compile service
+    the races dominate probe cost and would otherwise repeat per batch
+    shape."""
     if not cfg.use_pallas or jax.default_backend() == "cpu":
         return
     K = (T - cfg.kernel_size) // cfg.stride + 1
-    key = (batch, K, cfg.bottleneck, cfg.hidden, cfg.conv_kernel,
-           cfg.norm_type, cfg.causal, cfg.compute_dtype)
+    cfg_key = (cfg.bottleneck, cfg.hidden, cfg.conv_kernel,
+               cfg.norm_type, cfg.causal, cfg.compute_dtype)
+    key = (batch, K) + cfg_key
     if key in _PROBED_SHAPES:
         return
-    probe_for_config(cfg, K, batch, verbose=verbose)
+    probe_for_config(cfg, K, batch, verbose=verbose,
+                     verify_only=cfg_key in _PROBED_CONFIGS)
     _PROBED_SHAPES.add(key)
+    _PROBED_CONFIGS.add(cfg_key)
 
 
 def ensure_probed_train(cfg, batch: int, T: int, verbose: bool = True) -> None:

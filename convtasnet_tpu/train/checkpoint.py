@@ -111,16 +111,36 @@ def wait_for_saves() -> None:
 
 
 def _save_orbax(path: str, state_dict, meta) -> None:
+    # Atomicity contract (same as the msgpack path's tmp+rename): a
+    # preemption at ANY point leaves a restorable checkpoint. orbax's own
+    # save is atomic into a fresh directory, but overwriting via
+    # ``force=True`` deletes the previous store first — so instead write
+    # into ``state.new`` and swap:  state -> state.old, state.new -> state,
+    # drop state.old.  If the process dies mid-swap, ``_load_orbax`` falls
+    # back to ``state.old``.
+    import shutil
+
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
+    final = os.path.join(path, "state")
+    new = final + ".new"
+    old = final + ".old"
+    if os.path.exists(new):
+        shutil.rmtree(new)
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(os.path.join(path, "state"), state_dict, force=True)
+        ckptr.save(new, state_dict)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(final):
+        os.rename(final, old)
+    os.rename(new, final)
     tmp = os.path.join(path, "meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(path, "meta.json"))
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def _load_orbax(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
@@ -128,8 +148,11 @@ def _load_orbax(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
 
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
+    state = os.path.join(os.path.abspath(path), "state")
+    if not os.path.exists(state) and os.path.exists(state + ".old"):
+        state = state + ".old"  # save was preempted mid-swap
     with ocp.PyTreeCheckpointer() as ckptr:
-        state_dict = ckptr.restore(os.path.join(os.path.abspath(path), "state"))
+        state_dict = ckptr.restore(state)
     return state_dict, meta
 
 

@@ -237,3 +237,57 @@ def test_model_use_pallas_matches_xla_path():
     # bulk agreement + correlation is the right check
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
     assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.999
+
+
+def test_probe_verify_only_keeps_winner_and_skips_races():
+    """verify_only re-proves the recorded winner's compile at a new shape
+    without re-racing; dilations whose winner is None stay on XLA with no
+    compile at all."""
+    from convtasnet_tpu.ops.pallas import tcn_block as tb
+
+    key_won = (3, "gLN", False)
+    key_xla = (5, "gLN", False)
+    saved = dict(tb._FUSED_READY)
+    try:
+        tb._FUSED_READY[key_won] = "store"
+        tb._FUSED_READY[key_xla] = None
+        res = tb.probe_fused_block(
+            [3, 5], K=40, batch=2, bottleneck=8, hidden=16,
+            norm_type="gLN", causal=False, dtype=jnp.float32,
+            tile=48, interpret=True, verify_only=True)
+        assert res == {3: "store", 5: None}
+        assert tb._FUSED_READY[key_won] == "store"
+        assert tb._FUSED_READY[key_xla] is None
+    finally:
+        tb._FUSED_READY.clear()
+        tb._FUSED_READY.update(saved)
+
+
+def test_ensure_probed_races_once_per_config(monkeypatch):
+    """The second distinct shape of the same config must go through the
+    verify_only fast path, not a full autotune race."""
+    from convtasnet_tpu.config import ConvTasNetConfig
+    from convtasnet_tpu.ops.pallas import tcn_block as tb
+
+    calls = []
+
+    def fake_probe(cfg, K, batch, verbose=False, verify_only=False):
+        calls.append((batch, K, verify_only))
+        return {}
+
+    monkeypatch.setattr(tb, "probe_for_config", fake_probe)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    saved_shapes, saved_cfgs = set(tb._PROBED_SHAPES), set(tb._PROBED_CONFIGS)
+    try:
+        tb._PROBED_SHAPES.clear()
+        tb._PROBED_CONFIGS.clear()
+        cfg = ConvTasNetConfig(use_pallas=True)
+        tb.ensure_probed(cfg, 8, 32000)
+        tb.ensure_probed(cfg, 8, 32000)   # same shape: cached, no call
+        tb.ensure_probed(cfg, 4, 16000)   # new shape: verify_only
+        assert [c[2] for c in calls] == [False, True]
+    finally:
+        tb._PROBED_SHAPES.clear()
+        tb._PROBED_SHAPES.update(saved_shapes)
+        tb._PROBED_CONFIGS.clear()
+        tb._PROBED_CONFIGS.update(saved_cfgs)

@@ -139,3 +139,31 @@ def test_decode_rejects_bad_streams():
         sh.decode(b"ajkg1" + b"\x00" * 16)
     with pytest.raises(ValueError, match="bitshift would lose"):
         sh.encode(np.array([1, 2, 3], np.int32), bitshift=1)
+
+
+def _header_stream(ftype=sh.TYPE_S16HL, nchan=1, blocksize=4, maxnlpc=0,
+                   nmean=0, nskip=0):
+    """Assemble just a header (+ QUIT) with arbitrary field values — for
+    validation tests the encoder refuses to produce."""
+    bw = sh._BitWriter()
+    for v in (ftype, nchan, blocksize, maxnlpc, nmean, nskip):
+        bw.ulong(v)
+    bw.uvar(sh.FN_QUIT, sh.FNSIZE)
+    return b"ajkg2" + bw.getvalue()
+
+
+def test_decode_rejects_corrupt_headers():
+    """Garbage header fields raise the documented ValueError instead of
+    IndexError/ZeroDivisionError or attempting multi-GB allocations."""
+    with pytest.raises(ValueError, match="channel count"):
+        sh.decode(_header_stream(nchan=0))
+    with pytest.raises(ValueError, match="channel count"):
+        sh.decode(_header_stream(nchan=1 << 20))
+    with pytest.raises(ValueError, match="blocksize"):
+        sh.decode(_header_stream(blocksize=0))
+    with pytest.raises(ValueError, match="blocksize"):
+        sh.decode(_header_stream(blocksize=1 << 36))
+    with pytest.raises(ValueError, match="maxnlpc"):
+        sh.decode(_header_stream(maxnlpc=1 << 24))
+    with pytest.raises(ValueError, match="nmean"):
+        sh.decode(_header_stream(nmean=1 << 30))

@@ -258,3 +258,34 @@ def test_orbax_checkpoint_backend_roundtrip(tmp_path):
     cfg2, variables = load_params_for_inference(od)
     assert cfg2 == cfg
     assert "params" in variables
+
+
+def test_orbax_save_preempted_mid_swap_keeps_previous(tmp_path):
+    """The orbax backend must never leave zero restorable checkpoints: a
+    preemption between the state-dir swap renames (the window force=True
+    used to widen to the whole write) falls back to ``state.old``."""
+    import os
+
+    import jax
+
+    from convtasnet_tpu.config import ConvTasNetConfig, SolverConfig
+    from convtasnet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from convtasnet_tpu.train.train_step import create_train_state
+
+    cfg = ConvTasNetConfig(
+        n_filters=16, kernel_size=8, bottleneck=12, hidden=24,
+        conv_kernel=3, num_blocks=2, num_repeats=1, num_speakers=2)
+    state, _ = create_train_state(cfg, SolverConfig(lr=1e-3),
+                                  jax.random.PRNGKey(3), 2000)
+    od = str(tmp_path / "orbax_ckpt")
+    save_checkpoint(od, state, cfg, epoch=1, backend="orbax")
+    # overwrite must keep a valid store throughout
+    save_checkpoint(od, state, cfg, epoch=2, backend="orbax")
+    _, meta = load_checkpoint(od)
+    assert meta["epoch"] == 2
+    # simulate dying after `state -> state.old` but before `state.new -> state`
+    sdir = os.path.join(od, "state")
+    os.rename(sdir, sdir + ".old")
+    sd, meta = load_checkpoint(od)
+    assert meta["epoch"] == 2
+    assert jax.tree_util.tree_leaves(sd)
