@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -58,25 +57,13 @@ def main(batch_size: int = 8, seconds: float = 4.0, trials: int = 5) -> None:
     rng = np.random.default_rng(0)
     mixture = jnp.asarray(rng.standard_normal((batch_size, T)), jnp.float32)
 
-    # host<->device round-trip latency (subtracted from each measurement)
-    triv = jax.jit(lambda m: jnp.sum(m))
-    jax.device_get(triv(mixture))
-    rtt = []
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        jax.device_get(triv(mixture))
-        rtt.append(time.perf_counter() - t0)
-    rtt_s = float(np.median(rtt))
+    # shared relay timing protocol: device_get-forced, RTT-subtracted
+    from convtasnet_tpu.utils.timing import median_fetch_seconds, rtt_baseline
 
-    jax.device_get(fwd(params, mixture))  # compile + warmup
-    jax.device_get(fwd(params, mixture))
-
-    times = []
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        jax.device_get(fwd(params, mixture))
-        times.append(time.perf_counter() - t0)
-    dt = max(float(np.median(times)) - rtt_s, 1e-9)
+    rtt_s = rtt_baseline(mixture, trials=trials)
+    jax.device_get(fwd(params, mixture))  # extra warmup beyond compile
+    dt = max(median_fetch_seconds(fwd, params, mixture, trials=trials)
+             - rtt_s, 1e-9)
 
     audio_seconds = batch_size * seconds * INNER
     rtf = audio_seconds / dt
@@ -101,21 +88,11 @@ def fallback(batch_size: int = 8, seconds: float = 4.0, trials: int = 8) -> None
     fwd = jax.jit(lambda p, m: jnp.sum(model.apply({"params": p}, m)))
     rng = np.random.default_rng(0)
     mixture = jnp.asarray(rng.standard_normal((batch_size, T)), jnp.float32)
-    triv = jax.jit(lambda m: jnp.sum(m))
-    jax.device_get(triv(mixture))
-    rtts = []
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        jax.device_get(triv(mixture))
-        rtts.append(time.perf_counter() - t0)
-    rtt = float(np.median(rtts))
-    jax.device_get(fwd(variables["params"], mixture))
-    times = []
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        jax.device_get(fwd(variables["params"], mixture))
-        times.append(time.perf_counter() - t0)
-    dt = max(float(np.median(times)) - rtt, 1e-9)
+    from convtasnet_tpu.utils.timing import median_fetch_seconds, rtt_baseline
+
+    rtt = rtt_baseline(mixture, trials=trials)
+    dt = max(median_fetch_seconds(fwd, variables["params"], mixture,
+                                  trials=trials) - rtt, 1e-9)
     rtf = batch_size * seconds / dt
     print(json.dumps({
         "metric": "separation throughput (audio-sec/sec/chip, paper config)",

@@ -552,52 +552,13 @@ def fused_block_ready(dilation: int, norm_type: str, causal: bool,
 
 def _time_compiled(fn, x, inner: int = 150, trials: int = 5,
                    min_work_s: float = 0.02) -> float:
-    """Median per-iteration seconds of ``fn`` chained ``inner`` times in one
-    jitted scan, RTT-subtracted (the relay to the real chip adds ~30 ms that
-    ``block_until_ready`` does not expose — always force via device_get).
+    """Median per-iteration seconds of ``fn`` chained in one jitted scan,
+    RTT-subtracted and jitter-guarded — see ``utils/timing.time_chained``
+    (the single implementation of the relay timing protocol)."""
+    from convtasnet_tpu.utils.timing import time_chained
 
-    The chained work must dwarf the relay's RTT jitter (several ms,
-    run-to-run) or the subtraction returns noise and the autotuner picks
-    the wrong variant — observed with tiny model configs, where per-call
-    cost is a few µs and every candidate "measures" ~0. So if the chain
-    measures under ``min_work_s``, re-chain with a proportionally larger
-    ``inner`` and measure again (one recompile of the same cached kernel)."""
-    import time as _time
-
-    def timed_chain(n):
-        def chain(x0):
-            def body(carry, _):
-                return fn(carry), jnp.float32(0)
-
-            final, _ = jax.lax.scan(body, x0, None, length=n)
-            return jnp.sum(final)
-
-        f = jax.jit(chain)
-        jax.device_get(f(x))
-        times = []
-        for _ in range(trials):
-            t0 = _time.perf_counter()
-            jax.device_get(f(x))
-            times.append(_time.perf_counter() - t0)
-        times.sort()
-        return times[len(times) // 2]
-
-    triv = jax.jit(jnp.sum)
-    jax.device_get(triv(x))
-    rtts = []
-    for _ in range(trials):
-        t0 = _time.perf_counter()
-        jax.device_get(triv(x))
-        rtts.append(_time.perf_counter() - t0)
-    rtts.sort()
-    rtt = rtts[len(rtts) // 2]
-
-    t = timed_chain(inner)
-    if t - rtt < min_work_s:
-        scale = min_work_s / max(t - rtt, 1e-4)
-        inner = min(int(inner * max(scale, 2.0)), 50_000)
-        t = timed_chain(inner)
-    return max(t - rtt, 1e-9) / inner
+    return time_chained(fn, x, inner=inner, trials=trials,
+                        min_work_s=min_work_s)
 
 
 def _time_or_none(fn, x, inner: int = 150, retries: int = 1):

@@ -93,6 +93,50 @@ def read_pair_list(path: str) -> List[MixRow]:
     return rows
 
 
+def _make_dirs(out_dir: str, C: int) -> None:
+    for p in [f"s{i + 1}" for i in range(C)] + ["mix"]:
+        os.makedirs(os.path.join(out_dir, p), exist_ok=True)
+
+
+def _gained_sources(raw, snrs, sample_rate: int) -> List[np.ndarray]:
+    """Resample + P.56-normalize each source, apply its ±SNR gain."""
+    srcs = []
+    for (x, x_sr), snr in zip(raw, snrs):
+        if x_sr != sample_rate:
+            x = resample(x, x_sr, sample_rate)
+        x, _ = normalize_active(x, sample_rate)
+        srcs.append(10.0 ** (snr / 20.0) * x)
+    return srcs
+
+
+def _cut_mix_scale(srcs, mode: str, peak: float):
+    """min-cut / max-pad to a common length, sum, joint-peak rescan.
+
+    Returns (cut_sources, mix, scale) with scale = peak / max(|mix|, |s_i|)
+    — the MATLAB generator's 0.9-peak rescue (create_wav_2speakers.m:139-152).
+    """
+    if mode == "min":
+        T = min(len(s) for s in srcs)
+        cut = [s[:T] for s in srcs]
+    else:
+        T = max(len(s) for s in srcs)
+        cut = [np.pad(s, (0, T - len(s))) for s in srcs]
+    mix = np.sum(cut, axis=0)
+    max_amp = max(float(np.max(np.abs(mix))),
+                  *[float(np.max(np.abs(s))) for s in cut])
+    scale = peak / max_amp if max_amp > 0 else 1.0
+    return cut, mix, scale
+
+
+def _write_row(out_dir: str, name: str, cut, mix, scale: float,
+               sample_rate: int) -> None:
+    for c, s in enumerate(cut):
+        write_wav(os.path.join(out_dir, f"s{c + 1}", name + ".wav"),
+                  scale * s, sample_rate)
+    write_wav(os.path.join(out_dir, "mix", name + ".wav"),
+              scale * mix, sample_rate)
+
+
 def create_mixtures(
     rows: Sequence[MixRow],
     out_dir: str,
@@ -104,41 +148,17 @@ def create_mixtures(
     """Generate the mixture corpus for one split. Returns mixture names."""
     assert mode in ("min", "max")
     C = len(rows[0].paths) if rows else 2
-    parts = [f"s{i+1}" for i in range(C)] + ["mix"]
-    for p in parts:
-        os.makedirs(os.path.join(out_dir, p), exist_ok=True)
+    _make_dirs(out_dir, C)
 
     names = []
     scalings = []
     for row in rows:
-        srcs = []
-        levs = []
-        for path, snr in zip(row.paths, row.snrs):
-            x, sr = read_wav(os.path.join(source_root, path))
-            if sr != sample_rate:
-                x = resample(x, sr, sample_rate)
-            x, lev = normalize_active(x, sample_rate)
-            gain = 10.0 ** (snr / 20.0)
-            srcs.append(gain * x)
-            levs.append(lev)
-        if mode == "min":
-            T = min(len(s) for s in srcs)
-            srcs = [s[:T] for s in srcs]
-        else:
-            T = max(len(s) for s in srcs)
-            srcs = [np.pad(s, (0, T - len(s))) for s in srcs]
-        mix = np.sum(srcs, axis=0)
-        max_amp = max(float(np.max(np.abs(mix))),
-                      *[float(np.max(np.abs(s))) for s in srcs])
-        scale = peak / max_amp if max_amp > 0 else 1.0
-        name = row.name
-        names.append(name)
+        raw = [read_wav(os.path.join(source_root, p)) for p in row.paths]
+        srcs = _gained_sources(raw, row.snrs, sample_rate)
+        cut, mix, scale = _cut_mix_scale(srcs, mode, peak)
+        names.append(row.name)
         scalings.append(scale)
-        for c, s in enumerate(srcs):
-            write_wav(os.path.join(out_dir, f"s{c+1}", name + ".wav"),
-                      scale * s, sample_rate)
-        write_wav(os.path.join(out_dir, "mix", name + ".wav"),
-                  scale * mix, sample_rate)
+        _write_row(out_dir, row.name, cut, mix, scale, sample_rate)
     np.savez(os.path.join(out_dir, "scaling.npz"),
              names=np.array(names), scaling=np.array(scalings))
     return names
@@ -165,14 +185,12 @@ def create_mixtures_multi(
     for mode in modes:
         assert mode in ("min", "max"), mode
     C = len(rows[0].paths) if rows else 2
-    parts = [f"s{i + 1}" for i in range(C)] + ["mix"]
     variants = [(sr, mode) for sr in sample_rates for mode in modes]
     dirs = {}
     for sr, mode in variants:
         d = os.path.join(out_root, f"wav{sr // 1000}k", mode)
         dirs[(sr, mode)] = d
-        for p in parts:
-            os.makedirs(os.path.join(d, p), exist_ok=True)
+        _make_dirs(d, C)
 
     names = []
     scalings = {v: [] for v in variants}
@@ -180,30 +198,11 @@ def create_mixtures_multi(
         raw = [read_wav(os.path.join(source_root, p)) for p in row.paths]
         names.append(row.name)
         for sr in sample_rates:
-            srcs = []
-            for (x, x_sr), snr in zip(raw, row.snrs):
-                if x_sr != sr:
-                    x = resample(x, x_sr, sr)
-                x, _ = normalize_active(x, sr)
-                srcs.append(10.0 ** (snr / 20.0) * x)
+            srcs = _gained_sources(raw, row.snrs, sr)
             for mode in modes:
-                if mode == "min":
-                    T = min(len(s) for s in srcs)
-                    cut = [s[:T] for s in srcs]
-                else:
-                    T = max(len(s) for s in srcs)
-                    cut = [np.pad(s, (0, T - len(s))) for s in srcs]
-                mix = np.sum(cut, axis=0)
-                max_amp = max(float(np.max(np.abs(mix))),
-                              *[float(np.max(np.abs(s))) for s in cut])
-                scale = peak / max_amp if max_amp > 0 else 1.0
+                cut, mix, scale = _cut_mix_scale(srcs, mode, peak)
                 scalings[(sr, mode)].append(scale)
-                d = dirs[(sr, mode)]
-                for c, s in enumerate(cut):
-                    write_wav(os.path.join(d, f"s{c + 1}", row.name + ".wav"),
-                              scale * s, sr)
-                write_wav(os.path.join(d, "mix", row.name + ".wav"),
-                          scale * mix, sr)
+                _write_row(dirs[(sr, mode)], row.name, cut, mix, scale, sr)
     for v, d in dirs.items():
         np.savez(os.path.join(d, "scaling.npz"),
                  names=np.array(names), scaling=np.array(scalings[v]))

@@ -32,28 +32,9 @@ INNER = 50
 
 
 def time_chain(fn, x, trials=5):
-    def chain(x0):
-        def body(carry, _):
-            return fn(carry), jnp.float32(0)
-        final, _ = jax.lax.scan(body, x0, None, length=INNER)
-        return jnp.sum(final)
+    from convtasnet_tpu.utils.timing import time_chained
 
-    f = jax.jit(chain)
-    triv = jax.jit(lambda m: jnp.sum(m))
-    jax.device_get(triv(x))
-    rtts = []
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        jax.device_get(triv(x))
-        rtts.append(time.perf_counter() - t0)
-    rtt = float(np.median(rtts))
-    jax.device_get(f(x))
-    times = []
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        jax.device_get(f(x))
-        times.append(time.perf_counter() - t0)
-    return (max(float(np.median(times)) - rtt, 1e-9)) / INNER
+    return time_chained(fn, x, inner=INNER, trials=trials)
 
 
 def main():

@@ -27,14 +27,9 @@ V5E_BF16_PEAK = 197e12  # FLOP/s per chip
 
 
 def _rtt(x, trials=5):
-    triv = jax.jit(jnp.sum)
-    jax.device_get(triv(x))
-    ts = []
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        jax.device_get(triv(x))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+    from convtasnet_tpu.utils.timing import rtt_baseline
+
+    return rtt_baseline(x, trials=trials)
 
 
 def forward_flops(cfg, T):
@@ -53,8 +48,6 @@ def forward_flops(cfg, T):
 
 def bench_train_step(use_pallas: bool, batch=24, seconds=4.0, steps=8,
                      trials=3):
-    import dataclasses
-
     from convtasnet_tpu.config import ConvTasNetConfig, SolverConfig
     from convtasnet_tpu.train.train_step import (
         create_train_state,
@@ -120,14 +113,11 @@ def bench_forward(batch, seconds=4.0, inner=10, trials=3, use_pallas=True):
     fwd = jax.jit(chain)
     rng = np.random.default_rng(0)
     mixture = jnp.asarray(rng.standard_normal((batch, T)), jnp.float32)
+    from convtasnet_tpu.utils.timing import median_fetch_seconds
+
     rtt = _rtt(mixture)
-    jax.device_get(fwd(params, mixture))
-    times = []
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        jax.device_get(fwd(params, mixture))
-        times.append(time.perf_counter() - t0)
-    dt = (max(float(np.median(times)) - rtt, 1e-9)) / inner
+    dt = (max(median_fetch_seconds(fwd, params, mixture, trials=trials)
+              - rtt, 1e-9)) / inner
     return dt, cfg, T
 
 

@@ -93,7 +93,10 @@ def main(argv=None) -> int:
     ap.add_argument("--mask-nonlinear", default="relu")
     ap.add_argument("--steps-per-call", type=int, default=1)
     ap.add_argument("--sample-rate", type=int, default=8000)
-    ap.add_argument("--use-pallas", type=int, default=0)
+    ap.add_argument("--L", type=int, default=20,
+                    help="encoder filter length (40 keeps the 2.5 ms paper "
+                         "window at 16 kHz)")
+    ap.add_argument("--use-pallas", type=int, default=-1)
     a = ap.parse_args(argv)
     sr = a.sample_rate
 
@@ -116,6 +119,7 @@ def main(argv=None) -> int:
         "--valid-dir", os.path.join(jd, "cv"),
         "--save-folder", exp,
         "--N", str(a.N), "--H", str(a.H), "--B", str(a.B),
+        "--L", str(a.L),
         "--X", str(a.X), "--R", str(a.R), "--C", str(a.speakers),
         "--mask-nonlinear", a.mask_nonlinear,
         "--sample-rate", str(sr),
