@@ -51,6 +51,13 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
     g.add_argument("--norm-type", default="gLN", choices=["gLN", "cLN", "BN"])
     g.add_argument("--causal", type=int, default=0)
     g.add_argument("--mask-nonlinear", default="relu", choices=["relu", "softmax"])
+    g.add_argument("--separator", default="tcn", choices=["tcn", "dpt"],
+                   help="separator family: reference TCN or dual-path "
+                        "attention (models/dual_path.py)")
+    g.add_argument("--dpt-chunk", type=int, default=128)
+    g.add_argument("--dpt-layers", type=int, default=4)
+    g.add_argument("--dpt-heads", type=int, default=8)
+    g.add_argument("--dpt-ff", type=int, default=1024)
     # Default follows ConvTasNetConfig so CLI- and library-trained models use
     # identical precision (f32, like the reference). Pass bfloat16 to trade
     # exact parity for TPU MXU throughput.
@@ -106,6 +113,9 @@ def _cfg_from_args(a: argparse.Namespace) -> TrainConfig:
             conv_kernel=a.P, num_blocks=a.X, num_repeats=a.R,
             num_speakers=a.C, norm_type=a.norm_type, causal=bool(a.causal),
             mask_nonlinear=a.mask_nonlinear, sample_rate=a.sample_rate,
+            separator=a.separator, dpt_chunk=a.dpt_chunk,
+            dpt_layers=a.dpt_layers, dpt_heads=a.dpt_heads,
+            dpt_ff=a.dpt_ff,
             compute_dtype=a.compute_dtype,
             use_pallas=(jax.default_backend() != "cpu"
                         if a.use_pallas < 0 else bool(a.use_pallas))),

@@ -42,6 +42,15 @@ class ConvTasNetConfig:
     causal: bool = False
     mask_nonlinear: str = "relu"  # relu | softmax
     sample_rate: int = 8000
+    # Separator family: "tcn" is the reference architecture; "dpt" is the
+    # dual-path attention separator (models/dual_path.py — no reference
+    # equivalent; SepFormer/DPRNN family, MXU-native). The dpt_* knobs only
+    # apply to "dpt".
+    separator: str = "tcn"      # tcn | dpt
+    dpt_chunk: int = 128        # intra-chunk segment length (frames)
+    dpt_layers: int = 4         # dual-path layer pairs
+    dpt_heads: int = 8
+    dpt_ff: int = 1024          # FFN hidden width
     # TPU-specific knobs (no reference equivalent):
     compute_dtype: str = "float32"  # bfloat16 for MXU-friendly training
     param_dtype: str = "float32"
@@ -184,5 +193,6 @@ def exp_name(cfg: TrainConfig) -> str:
         f"_N{m.n_filters}_L{m.kernel_size}_B{m.bottleneck}_H{m.hidden}"
         f"_P{m.conv_kernel}_X{m.num_blocks}_R{m.num_repeats}_C{m.num_speakers}"
         f"_{m.norm_type}_causal{int(m.causal)}_{m.mask_nonlinear}"
-        f"_ep{s.epochs}_{s.optimizer}_lr{s.lr}_gn{s.max_grad_norm}"
+        + ("" if m.separator == "tcn" else f"_{m.separator}")
+        + f"_ep{s.epochs}_{s.optimizer}_lr{s.lr}_gn{s.max_grad_norm}"
     )

@@ -306,7 +306,15 @@ class ConvTasNet(nn.Module):
         cfg = self.cfg
         x = mixture.astype(jnp.dtype(cfg.compute_dtype))
         mixture_w = Encoder(cfg, name="encoder")(x)
-        est_mask = TemporalConvNet(cfg, name="separator")(mixture_w, train=train)
+        if cfg.separator == "dpt":
+            from convtasnet_tpu.models.dual_path import DualPathSeparator
+
+            sep_cls = DualPathSeparator
+        elif cfg.separator == "tcn":
+            sep_cls = TemporalConvNet
+        else:
+            raise ValueError(f"unsupported separator family: {cfg.separator}")
+        est_mask = sep_cls(cfg, name="separator")(mixture_w, train=train)
         est_source = Decoder(cfg, name="decoder")(mixture_w, est_mask)
         T_origin = mixture.shape[-1]
         T_conv = est_source.shape[-1]

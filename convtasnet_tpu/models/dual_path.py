@@ -1,0 +1,201 @@
+"""Dual-path attention separator (a second separator family, TPU-native).
+
+The reference stack ships exactly one separator — the dilated TCN
+(``src/conv_tasnet.py:149-215``). This module adds a dual-path
+transformer separator in the SepFormer / DPRNN family (Luo et al.,
+arXiv:1910.06379; Subakan et al., arXiv:2010.13154) as a drop-in
+alternative behind the same encoder/decoder/mask contract
+(``cfg.separator = "dpt"``): frames are segmented into fixed-size chunks
+and alternating *intra-chunk* (local) and *inter-chunk* (global)
+multi-head self-attention layers model short- and long-range structure.
+
+It is deliberately attention-based rather than the original LSTM dual
+path: every op is a batched matmul (QKV projections, attention scores,
+FFNs) that maps straight onto the MXU with static shapes, where an LSTM's
+sequential recurrence would serialize ~K/chunk steps of tiny matmuls
+through a ``lax.scan``. The dual-path trick itself is TPU-friendly —
+reshaping [K] into [n_chunks, S] turns one long attention (O(K²), HBM-
+hostile at K≈3200) into two short ones (O(K·S) + O(K·K/S)), both sized to
+tile cleanly.
+
+Layout notes:
+- channels-last throughout: [M, K, B] → [M, n, S, B] via one reshape (no
+  transposes; chunks are contiguous, 50%-overlap windowing is framing,
+  which the encoder already showed is a reshape+concat on TPU — we use
+  non-overlapping chunks, as attention needs no overlap to see across a
+  boundary, unlike DPRNN's LSTMs).
+- attention softmax/statistics in float32 under bf16 compute (same rule
+  as the norms, ``ops/norm.py``).
+- padded tail frames (K → n·S) are masked out of every softmax, so the
+  valid outputs are independent of the pad content (tested by perturbing
+  the pad).
+- sinusoidal positional encodings on intra (position-in-chunk) and inter
+  (chunk-index) paths — attention is otherwise permutation-equivariant.
+
+Parallelism: data-parallel training works unchanged (batch-axis
+sharding); the attention einsums are GSPMD-shardable on heads. The fused
+Pallas TCN kernels simply do not engage for this family (its hot ops are
+plain MXU matmuls XLA already fuses well).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from convtasnet_tpu.config import ConvTasNetConfig
+from convtasnet_tpu.models.functional import mask_from_scores
+from convtasnet_tpu.ops.conv import pointwise_conv
+
+NEG_INF = -1e9
+
+
+def sinusoid_encoding(length: int, dim: int) -> np.ndarray:
+    """Standard fixed sin/cos positional table [length, dim] (f32)."""
+    pos = np.arange(length)[:, None]
+    i = np.arange(dim)[None, :]
+    angle = pos / np.power(10000.0, (2 * (i // 2)) / dim)
+    enc = np.where(i % 2 == 0, np.sin(angle), np.cos(angle))
+    return enc.astype(np.float32)
+
+
+def masked_mha(q, k, v, key_valid, n_heads: int):
+    """Multi-head attention with invalid keys masked out of the softmax.
+
+    q/k/v: [..., T, D] (already projected); key_valid: [..., T] bool or
+    None. Softmax in f32. Returns [..., T, D] in q.dtype.
+    """
+    *lead, T, D = q.shape
+    Dh = D // n_heads
+    qh = q.reshape(*lead, T, n_heads, Dh)
+    kh = k.reshape(*lead, T, n_heads, Dh)
+    vh = v.reshape(*lead, T, n_heads, Dh)
+    # [..., heads, Tq, Tk]
+    logits = jnp.einsum("...qhd,...khd->...hqk", qh, kh).astype(jnp.float32)
+    logits = logits / np.sqrt(Dh)
+    if key_valid is not None:
+        bias = jnp.where(key_valid, 0.0, NEG_INF).astype(jnp.float32)
+        logits = logits + bias[..., None, None, :]
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("...hqk,...khd->...qhd", w, vh)
+    return out.reshape(*lead, T, D)
+
+
+class _LayerNorm(nn.Module):
+    """Pre-LN with f32 statistics (last axis)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param("gamma", nn.initializers.ones, (self.features,))
+        b = self.param("beta", nn.initializers.zeros, (self.features,))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + 1e-6)
+        return (y * g + b).astype(x.dtype)
+
+
+class _AttentionSublayer(nn.Module):
+    """Pre-LN MHA + residual; one dense QKV matmul + output projection."""
+
+    features: int
+    n_heads: int
+
+    @nn.compact
+    def __call__(self, x, key_valid):
+        y = _LayerNorm(self.features, name="norm")(x)
+        qkv = nn.Dense(3 * self.features, use_bias=False, name="qkv",
+                       dtype=x.dtype)(y)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        a = masked_mha(q, k, v, key_valid, self.n_heads)
+        a = nn.Dense(self.features, use_bias=False, name="out",
+                     dtype=x.dtype)(a)
+        return x + a
+
+
+class _FFNSublayer(nn.Module):
+    """Pre-LN GELU MLP + residual."""
+
+    features: int
+    ff: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = _LayerNorm(self.features, name="norm")(x)
+        y = nn.Dense(self.ff, use_bias=True, name="up", dtype=x.dtype)(y)
+        y = jax.nn.gelu(y)
+        y = nn.Dense(self.features, use_bias=True, name="down",
+                     dtype=x.dtype)(y)
+        return x + y
+
+
+class DualPathLayer(nn.Module):
+    """One intra-chunk + one inter-chunk attention pass (each MHA + FFN)."""
+
+    features: int
+    n_heads: int
+    ff: int
+
+    @nn.compact
+    def __call__(self, x, frame_valid):
+        # x: [M, n, S, B]; frame_valid: [n, S] (True = real frame)
+        # --- intra: attend over S within each chunk ---
+        x = _AttentionSublayer(self.features, self.n_heads, name="intra_att")(
+            x, frame_valid[None])
+        x = _FFNSublayer(self.features, self.ff, name="intra_ffn")(x)
+        # --- inter: attend over chunks at each in-chunk position ---
+        xt = jnp.swapaxes(x, 1, 2)                    # [M, S, n, B]
+        chunk_valid = frame_valid.T                   # [S, n]
+        xt = _AttentionSublayer(self.features, self.n_heads, name="inter_att")(
+            xt, chunk_valid[None])
+        xt = _FFNSublayer(self.features, self.ff, name="inter_ffn")(xt)
+        return jnp.swapaxes(xt, 1, 2)
+
+
+class DualPathSeparator(nn.Module):
+    """Encoder frames [M, K, N] -> masks [M, K, C, N].
+
+    Same external contract as ``TemporalConvNet`` so ``ConvTasNet``
+    dispatches on ``cfg.separator``; shares the mask head semantics
+    (``mask_from_scores``: relu / per-speaker softmax).
+    """
+
+    cfg: ConvTasNetConfig
+
+    @nn.compact
+    def __call__(self, mixture_w: jax.Array, *, train: bool = False) -> jax.Array:
+        cfg = self.cfg
+        N, B, C, S = (cfg.n_filters, cfg.bottleneck, cfg.num_speakers,
+                      cfg.dpt_chunk)
+        M, K, _ = mixture_w.shape
+        y = _LayerNorm(N, name="input_norm")(mixture_w)
+        y = nn.Dense(B, use_bias=False, name="bottleneck", dtype=y.dtype)(y)
+
+        n = -(-K // S)  # ceil
+        Kp = n * S
+        if Kp != K:
+            y = jnp.pad(y, ((0, 0), (0, Kp - K), (0, 0)))
+        x = y.reshape(M, n, S, B)
+        frame_valid = (jnp.arange(Kp).reshape(n, S) < K)
+
+        # positional encodings: in-chunk position + chunk index
+        intra_pos = jnp.asarray(sinusoid_encoding(S, B))
+        inter_pos = jnp.asarray(sinusoid_encoding(n, B))
+        x = x + intra_pos[None, None].astype(x.dtype) \
+            + inter_pos[None, :, None].astype(x.dtype)
+
+        for i in range(cfg.dpt_layers):
+            x = DualPathLayer(B, cfg.dpt_heads, cfg.dpt_ff,
+                              name=f"layer_{i}")(x, frame_valid)
+
+        x = _LayerNorm(B, name="output_norm")(x)
+        x = x.reshape(M, Kp, B)[:, :K]
+        w_mask = self.param(
+            "mask_conv", nn.initializers.xavier_normal(), (B, C * N))
+        score = pointwise_conv(jax.nn.relu(x), w_mask.astype(x.dtype))
+        return mask_from_scores(cfg, score)

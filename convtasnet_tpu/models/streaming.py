@@ -45,6 +45,11 @@ from convtasnet_tpu.ops.norm import channelwise_layer_norm
 
 
 def _assert_streamable(cfg: ConvTasNetConfig) -> None:
+    if cfg.separator != "tcn":
+        raise ValueError(
+            "streaming supports the (causal) TCN separator only — dual-path "
+            "attention is inherently whole-chunk (models/dual_path.py)"
+        )
     if not cfg.causal or cfg.norm_type == "gLN":
         raise ValueError(
             "streaming requires the causal variant (causal=True with cLN/BN "

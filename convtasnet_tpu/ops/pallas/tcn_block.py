@@ -866,7 +866,8 @@ def ensure_probed(cfg, batch: int, T: int, verbose: bool = True) -> None:
     recorded winners (``verify_only``) — through a tunneled compile service
     the races dominate probe cost and would otherwise repeat per batch
     shape."""
-    if not cfg.use_pallas or jax.default_backend() == "cpu":
+    if (not cfg.use_pallas or jax.default_backend() == "cpu"
+            or getattr(cfg, "separator", "tcn") != "tcn"):
         return
     K = (T - cfg.kernel_size) // cfg.stride + 1
     cfg_key = (cfg.bottleneck, cfg.hidden, cfg.conv_kernel,
@@ -886,7 +887,8 @@ def ensure_probed_train(cfg, batch: int, T: int, verbose: bool = True) -> None:
     candidates reuse its per-dilation winner). No-op unless ``use_pallas``,
     gLN/cLN, and a real (non-CPU) backend."""
     if (not cfg.use_pallas or cfg.norm_type not in ("gLN", "cLN")
-            or jax.default_backend() == "cpu"):
+            or jax.default_backend() == "cpu"
+            or getattr(cfg, "separator", "tcn") != "tcn"):
         return
     K = (T - cfg.kernel_size) // cfg.stride + 1
     key = ("train", batch, K, cfg.bottleneck, cfg.hidden, cfg.conv_kernel,

@@ -178,6 +178,11 @@ def separate_sharded(
     final ``L - hop`` overlap-add tail, which the unsharded model also only
     fills partially, is dropped consistently).
     """
+    if cfg.separator != "tcn":
+        raise ValueError(
+            "sequence-parallel separation implements the TCN separator's "
+            "halo/psum exchanges; dual-path attention shards differently "
+            "(use data parallelism)")
     n = mesh.shape[axis_name]
     hop = cfg.stride
     T = mixture.shape[-1]

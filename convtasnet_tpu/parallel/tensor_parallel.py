@@ -45,6 +45,11 @@ EPS = 1e-8
 
 def param_partition_specs(cfg: ConvTasNetConfig, variables: Dict[str, Any]):
     """PartitionSpec pytree for the model variables under channel sharding."""
+    if cfg.separator != "tcn":
+        raise ValueError(
+            "tensor parallelism shards the TCN hidden dimension; the "
+            "dual-path separator's natural TP axis is attention heads "
+            "(not implemented — use data parallelism)")
 
     def block_spec():
         norm = {"gamma": P("model"), "beta": P("model")}

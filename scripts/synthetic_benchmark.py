@@ -91,6 +91,7 @@ def main(argv=None) -> int:
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--speakers", type=int, default=2)
     ap.add_argument("--mask-nonlinear", default="relu")
+    ap.add_argument("--separator", default="tcn", choices=["tcn", "dpt"])
     ap.add_argument("--steps-per-call", type=int, default=1)
     ap.add_argument("--sample-rate", type=int, default=8000)
     ap.add_argument("--L", type=int, default=20,
@@ -122,6 +123,7 @@ def main(argv=None) -> int:
         "--L", str(a.L),
         "--X", str(a.X), "--R", str(a.R), "--C", str(a.speakers),
         "--mask-nonlinear", a.mask_nonlinear,
+        "--separator", a.separator,
         "--sample-rate", str(sr),
         "--segment", str(a.segment), "--batch-size", str(a.batch_size),
         "--epochs", str(a.epochs), "--lr", str(a.lr),
