@@ -189,9 +189,14 @@ class DualPathSeparator(nn.Module):
         x = x + intra_pos[None, None].astype(x.dtype) \
             + inter_pos[None, :, None].astype(x.dtype)
 
+        layer_cls = DualPathLayer
+        if cfg.remat:
+            # recompute each dual-path layer in the backward (the [M, n, S, B]
+            # residents otherwise stack up per sublayer), same knob as the TCN
+            layer_cls = nn.remat(DualPathLayer)
         for i in range(cfg.dpt_layers):
-            x = DualPathLayer(B, cfg.dpt_heads, cfg.dpt_ff,
-                              name=f"layer_{i}")(x, frame_valid)
+            x = layer_cls(B, cfg.dpt_heads, cfg.dpt_ff,
+                          name=f"layer_{i}")(x, frame_valid)
 
         x = _LayerNorm(B, name="output_norm")(x)
         x = x.reshape(M, Kp, B)[:, :K]
