@@ -163,6 +163,10 @@ def export_state_dict(variables: Dict[str, Any], cfg: ConvTasNetConfig):
     """Flax variables -> reference-layout torch ``state_dict`` (the inverse
     of ``convert_state_dict``), so models trained here can be loaded by
     reference-compatible PyTorch tooling."""
+    if getattr(cfg, "separator", "tcn") != "tcn":
+        raise ValueError(
+            "torch export targets the reference TCN layout; the dual-path "
+            "separator has no reference-side equivalent to export to")
     import torch
 
     params = variables["params"]
