@@ -27,6 +27,9 @@ INNER = 10
 
 
 def main(batch_size: int = 8, seconds: float = 4.0, trials: int = 5) -> None:
+    from convtasnet_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     from convtasnet_tpu.config import ConvTasNetConfig
     from convtasnet_tpu.models.conv_tasnet import ConvTasNet, init_params
     from convtasnet_tpu.ops.pallas.tcn_block import ensure_probed

@@ -333,6 +333,9 @@ def _honor_jax_platforms_env() -> None:
 
 def main(argv=None) -> int:
     _honor_jax_platforms_env()
+    from convtasnet_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # repeat XLA builds become disk hits
     parser = argparse.ArgumentParser(
         prog="convtasnet-tpu",
         description="TPU-native Conv-TasNet speech separation framework")

@@ -37,3 +37,24 @@ def test_time_chained_rescales_tiny_work():
     x = jnp.ones((4, 64), jnp.float32)
     per = time_chained(fn, x, inner=10, trials=3, min_work_s=0.01)
     assert 0 < per < 0.01  # far less than the min-work chain itself
+
+
+def test_compile_cache_enable_and_disable(monkeypatch, tmp_path):
+    from convtasnet_tpu.utils import compile_cache as cc
+
+    monkeypatch.setattr(cc, "_ENABLED", False)
+    monkeypatch.setenv("CONVTASNET_COMPILE_CACHE", "0")
+    assert cc.enable_compile_cache() is None
+    monkeypatch.setenv("CONVTASNET_COMPILE_CACHE", str(tmp_path / "xc"))
+    try:
+        d = cc.enable_compile_cache()
+        assert d == str(tmp_path / "xc")
+        import os
+
+        assert os.path.isdir(d)
+        # idempotent
+        assert cc.enable_compile_cache() == d
+    finally:
+        # tmp_path is reclaimed after the test — don't leave jax pointed at it
+        jax.config.update("jax_compilation_cache_dir", None)
+        monkeypatch.setattr(cc, "_ENABLED", False)
