@@ -37,10 +37,20 @@ def forward_flops(cfg, T):
     K = (T - cfg.kernel_size) // cfg.stride + 1
     N, B, H, P, C = (cfg.n_filters, cfg.bottleneck, cfg.hidden,
                      cfg.conv_kernel, cfg.num_speakers)
-    blocks = cfg.num_repeats * cfg.num_blocks
     f = 2 * K * cfg.kernel_size * N              # encoder matmul
     f += 2 * K * N * B                           # bottleneck
-    f += blocks * (2 * K * B * H * 2 + 2 * K * H * P)  # 1x1s + dwconv
+    if cfg.separator == "dpt":
+        S = cfg.dpt_chunk
+        n = -(-K // S)
+        Kp = n * S
+        per_path = (2 * Kp * B * 3 * B      # QKV
+                    + 2 * Kp * B * B)       # out proj
+        attn = 2 * Kp * S * B * 2 + 2 * Kp * n * B * 2  # scores+mix, both paths
+        ffn = 2 * (2 * Kp * B * cfg.dpt_ff) * 2
+        f += cfg.dpt_layers * (2 * per_path + attn + ffn)
+    else:
+        blocks = cfg.num_repeats * cfg.num_blocks
+        f += blocks * (2 * K * B * H * 2 + 2 * K * H * P)  # 1x1s + dwconv
     f += 2 * K * B * (C * N)                     # mask head
     f += 2 * K * C * N * cfg.kernel_size + K * C * N   # decoder + mask apply
     return f
@@ -88,12 +98,14 @@ def bench_train_step(use_pallas: bool, batch=24, seconds=4.0, steps=8,
     return dt, cfg, T
 
 
-def bench_forward(batch, seconds=4.0, inner=10, trials=3, use_pallas=True):
+def bench_forward(batch, seconds=4.0, inner=10, trials=3, use_pallas=True,
+                  separator="tcn"):
     from convtasnet_tpu.config import ConvTasNetConfig
     from convtasnet_tpu.models.conv_tasnet import ConvTasNet, init_params
 
     T = int(seconds * 8000)
-    cfg = ConvTasNetConfig(compute_dtype="bfloat16", use_pallas=use_pallas)
+    cfg = ConvTasNetConfig(compute_dtype="bfloat16", use_pallas=use_pallas,
+                           separator=separator)
     if use_pallas and jax.default_backend() != "cpu":
         from convtasnet_tpu.ops.pallas.tcn_block import ensure_probed
 
@@ -146,5 +158,24 @@ def main():
                   flush=True)
 
 
+def main_dpt():
+    """Forward throughput of the dual-path family (no Pallas involvement —
+    its hot ops are plain MXU einsums)."""
+    print(f"# backend={jax.default_backend()} separator=dpt")
+    for batch in (8, 32):
+        dt, cfg, T = bench_forward(batch, use_pallas=False, separator="dpt")
+        f = forward_flops(cfg, T) * batch
+        mfu = f / dt / V5E_BF16_PEAK
+        rt = batch * 4.0 / dt
+        print(f"forward B={batch} dpt: {dt * 1e3:.2f} ms  "
+              f"({rt:.0f}x realtime, {dt / batch * 1e3:.3f} ms/elem, "
+              f"MFU~{mfu:.1%})", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--separator" in sys.argv and "dpt" in sys.argv:
+        main_dpt()
+    else:
+        main()
