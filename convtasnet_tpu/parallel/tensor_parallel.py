@@ -44,12 +44,17 @@ EPS = 1e-8
 
 
 def param_partition_specs(cfg: ConvTasNetConfig, variables: Dict[str, Any]):
-    """PartitionSpec pytree for the model variables under channel sharding."""
-    if cfg.separator != "tcn":
-        raise ValueError(
-            "tensor parallelism shards the TCN hidden dimension; the "
-            "dual-path separator's natural TP axis is attention heads "
-            "(not implemented — use data parallelism)")
+    """PartitionSpec pytree for the model variables under channel sharding.
+
+    TCN: Megatron column/row split of the block matmuls on the hidden dim H.
+    DPT: the attention QKV / FFN-up matmuls column-split and the output /
+    FFN-down matmuls row-split over ``model`` (Megatron pattern on the
+    attention block); GSPMD inserts the per-sublayer partial-sum reduce.
+    Used by ``make_sharded_train_step`` for both families; the hand-written
+    ``shard_map`` inference path (``tp_forward``) is TCN-only.
+    """
+    if cfg.separator == "dpt":
+        return _dpt_partition_specs(cfg, variables)
 
     def block_spec():
         norm = {"gamma": P("model"), "beta": P("model")}
@@ -87,6 +92,44 @@ def param_partition_specs(cfg: ConvTasNetConfig, variables: Dict[str, Any]):
                     "norm2": {"mean": P("model"), "var": P("model")},
                 }
         specs["batch_stats"] = {"separator": stats}
+    return specs
+
+
+def _dpt_partition_specs(cfg: ConvTasNetConfig, variables: Dict[str, Any]):
+    def norm():
+        return {"gamma": P(), "beta": P()}
+
+    def att():
+        return {"norm": norm(),
+                "qkv": {"kernel": P(None, "model")},
+                "out": {"kernel": P("model", None)}}
+
+    def ffn():
+        return {"norm": norm(),
+                "up": {"kernel": P(None, "model"), "bias": P("model")},
+                "down": {"kernel": P("model", None), "bias": P()}}
+
+    sep: Dict[str, Any] = {
+        "input_norm": norm(),
+        "bottleneck": {"kernel": P()},
+        "output_norm": norm(),
+        "mask_conv": P(),
+    }
+    for i in range(cfg.dpt_layers):
+        sep[f"layer_{i}"] = {
+            "intra_att": att(), "intra_ffn": ffn(),
+            "inter_att": att(), "inter_ffn": ffn(),
+        }
+    specs: Dict[str, Any] = {
+        "params": {
+            "encoder": {"w": P()},
+            "decoder": {"w": P()},
+            "separator": sep,
+        }
+    }
+    if "batch_stats" in variables and variables["batch_stats"]:
+        specs["batch_stats"] = jax.tree_util.tree_map(
+            lambda _: P(), variables["batch_stats"])
     return specs
 
 
@@ -174,6 +217,11 @@ def tp_forward(
     dimension of every TCN block is sharded over ``model``. Batch size must
     divide the data-axis size.
     """
+    if cfg.separator != "tcn":
+        raise ValueError(
+            "tp_forward implements the TCN hidden-dim shard_map; for the "
+            "dual-path family use make_sharded_train_step / jit with "
+            "param_partition_specs (GSPMD), or data parallelism")
     specs = param_partition_specs(cfg, variables)
     fn = jax.shard_map(
         functools.partial(_tp_shard_forward, cfg, axis=model_axis),

@@ -149,10 +149,55 @@ def test_streaming_and_sp_tp_reject_dpt():
     with pytest.raises(ValueError, match="TCN separator only"):
         init_stream_state(_cfg(causal=True, norm_type="cLN"), 1)
 
-    from convtasnet_tpu.parallel.tensor_parallel import param_partition_specs
+    from convtasnet_tpu.parallel.mesh import make_mesh
+    from convtasnet_tpu.parallel.tensor_parallel import tp_forward
 
-    with pytest.raises(ValueError, match="data parallelism"):
-        param_partition_specs(_cfg(), {"params": {}})
+    with pytest.raises(ValueError, match="GSPMD"):
+        tp_forward(_cfg(), {"params": {}},
+                   jnp.zeros((2, 100)), make_mesh(n_data=4, n_model=2))
+
+
+def test_tensor_parallel_train_step_dpt():
+    """GSPMD-sharded train step for the dual-path family: attention QKV /
+    FFN matmuls Megatron-split over the model axis; loss matches the
+    unsharded step."""
+    from convtasnet_tpu.config import SolverConfig
+    from convtasnet_tpu.parallel.mesh import make_mesh
+    from convtasnet_tpu.parallel.tensor_parallel import param_partition_specs
+    from convtasnet_tpu.train.train_step import (
+        create_train_state,
+        make_sharded_train_step,
+        make_train_step,
+    )
+
+    cfg = _cfg(bottleneck=16, dpt_heads=4, dpt_ff=32, dpt_layers=2)
+    T = 500
+    state, tx = create_train_state(cfg, SolverConfig(lr=1e-3),
+                                   jax.random.PRNGKey(0), T)
+    # specs cover the full param tree
+    specs = param_partition_specs(
+        cfg, {"params": state.params, "batch_stats": state.batch_stats})
+    # zips exactly (raises on any structural mismatch)
+    jax.tree_util.tree_map(lambda s, p: p.shape, specs["params"],
+                           state.params)
+
+    rng = np.random.default_rng(7)
+    src = jnp.asarray(rng.standard_normal((4, 2, T)), jnp.float32)
+    mix = jnp.sum(src, axis=1)
+    batch = (mix, jnp.full((4,), T, jnp.int32), src,
+             jnp.ones((4,), jnp.float32))
+
+    ref_step = jax.jit(make_train_step(cfg, tx))
+    _, m_ref = ref_step(state, batch)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    state2, tx2 = create_train_state(cfg, SolverConfig(lr=1e-3),
+                                     jax.random.PRNGKey(0), T)
+    step2, shard_state = make_sharded_train_step(cfg, tx2, state2, mesh)
+    s2 = shard_state(state2)
+    s2, m_tp = step2(s2, batch)
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_tp["loss"]),
+                               rtol=2e-5)
 
 
 def test_data_parallel_train_step_dpt():
