@@ -768,6 +768,7 @@ def probe_fused_block_train(
     retries: int = 2,
     verbose: bool = False,
     autotune: bool = True,
+    verify_only: bool = False,
 ) -> dict:
     """AOT-compile and race the TRAINING path per dilation: full
     forward+backward through (a) plain XLA autodiff, (b) the fused Pallas
@@ -776,6 +777,10 @@ def probe_fused_block_train(
     winner in ``_FUSED_BWD_READY``; XLA winning (or every fused variant
     failing to compile) records None so the train step keeps plain
     autodiff. gLN and cLN.
+
+    ``verify_only``: compile-check only each dilation's already-recorded
+    registry winner (e.g. loaded from the disk autotune cache) — no races;
+    a failed compile degrades that dilation to autodiff.
     """
     import numpy as _np
 
@@ -814,8 +819,15 @@ def probe_fused_block_train(
         xla10 = lambda *args: _xla_block(static, *args, gb, g1, gb, g1)  # noqa: E731
         fwd_variant = _FUSED_READY.get((d, norm_type, causal))
         store_h2, h_dt = variant_params(fwd_variant)
+        to_try = bwd_variants
+        if verify_only:
+            winner = _FUSED_BWD_READY.get((d, norm_type, causal))
+            if winner is None:
+                results[d] = None
+                continue
+            to_try = tuple(v for v in bwd_variants if v == winner)
         candidates = {}
-        for bwd in bwd_variants:
+        for bwd in to_try:
             fn = grad_fn(functools.partial(
                 fused_tcn_block_ad, dilation=d, causal=causal,
                 norm_type=norm_type, tile=tile, store_h2=store_h2,
@@ -836,6 +848,8 @@ def probe_fused_block_train(
                       f"({type(err).__name__})", file=_sys.stderr)
         if not candidates:
             best = None
+        elif verify_only:
+            best = next(iter(candidates))
         elif autotune:
             best, timed = _race(candidates, grad_fn(xla10), x, inner=60)
             if verbose:
@@ -855,6 +869,51 @@ def probe_fused_block_train(
 _PROBED_SHAPES: set = set()
 _PROBED_CONFIGS: set = set()
 
+# Disk-persisted autotune winners. Bump when kernel/backward semantics or
+# the variant set change (stale winners would race differently).
+_AUTOTUNE_CACHE_VERSION = 2
+
+
+def _autotune_cache_path() -> str:
+    import os
+
+    d = os.environ.get("CONVTASNET_COMPILE_CACHE", "")
+    if d in ("0", ""):  # "0" disables the XLA cache, not this registry
+        d = os.path.join(os.path.expanduser("~"), ".cache", "convtasnet_tpu")
+    return os.path.join(d, "autotune.json")
+
+
+def _autotune_cache_load() -> dict:
+    import json
+    import os
+
+    try:
+        with open(_autotune_cache_path()) as f:
+            data = json.load(f)
+        if data.get("version") != _AUTOTUNE_CACHE_VERSION:
+            return {}
+        return data.get("entries", {})
+    except (OSError, ValueError):
+        return {}
+
+
+def _autotune_cache_store(key: str, winners: dict) -> None:
+    import json
+    import os
+
+    path = _autotune_cache_path()
+    try:
+        entries = _autotune_cache_load()
+        entries[key] = {str(d): w for d, w in winners.items()}
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": _AUTOTUNE_CACHE_VERSION,
+                       "entries": entries}, f)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # cache is best-effort
+
 
 def ensure_probed(cfg, batch: int, T: int, verbose: bool = True) -> None:
     """Probe all of ``cfg``'s dilations for a concrete [batch, T] input shape
@@ -865,18 +924,36 @@ def ensure_probed(cfg, batch: int, T: int, verbose: bool = True) -> None:
     config (eval/separate batches vary in [M, T]) only compile-verify the
     recorded winners (``verify_only``) — through a tunneled compile service
     the races dominate probe cost and would otherwise repeat per batch
-    shape."""
+    shape. Winners also persist to disk (``autotune.json`` next to the XLA
+    compile cache), so a repeat process with the exact same (shape, config)
+    skips the races entirely and only re-proves the winners' compiles
+    (disk hits via the persistent compile cache)."""
     if (not cfg.use_pallas or jax.default_backend() == "cpu"
             or getattr(cfg, "separator", "tcn") != "tcn"):
         return
     K = (T - cfg.kernel_size) // cfg.stride + 1
-    cfg_key = (cfg.bottleneck, cfg.hidden, cfg.conv_kernel,
+    cfg_key = (cfg.bottleneck, cfg.hidden, cfg.conv_kernel, cfg.num_blocks,
                cfg.norm_type, cfg.causal, cfg.compute_dtype)
     key = (batch, K) + cfg_key
     if key in _PROBED_SHAPES:
         return
-    probe_for_config(cfg, K, batch, verbose=verbose,
-                     verify_only=cfg_key in _PROBED_CONFIGS)
+    verify_only = cfg_key in _PROBED_CONFIGS
+    disk_key = "fwd:" + ":".join(str(x) for x in key)
+    if not verify_only:
+        cached = _autotune_cache_load().get(disk_key)
+        if cached is not None:
+            for d, w in cached.items():
+                _FUSED_READY[(int(d), cfg.norm_type, cfg.causal)] = w
+            verify_only = True
+            if verbose:
+                import sys as _sys
+
+                print(f"pallas probe: autotune winners loaded from disk "
+                      f"({disk_key})", file=_sys.stderr)
+    results = probe_for_config(cfg, K, batch, verbose=verbose,
+                               verify_only=verify_only)
+    if not verify_only:
+        _autotune_cache_store(disk_key, results)
     _PROBED_SHAPES.add(key)
     _PROBED_CONFIGS.add(cfg_key)
 
@@ -885,21 +962,44 @@ def ensure_probed_train(cfg, batch: int, T: int, verbose: bool = True) -> None:
     """Probe the fused TRAIN path (forward + single-kernel backward) for a
     concrete [batch, T] shape. Probes the forward registry first (the train
     candidates reuse its per-dilation winner). No-op unless ``use_pallas``,
-    gLN/cLN, and a real (non-CPU) backend."""
+    gLN/cLN, and a real (non-CPU) backend. Winners persist to disk like the
+    forward registry's (see ``ensure_probed``); a disk hit installs them and
+    compile-verifies the fused pairs instead of re-racing."""
     if (not cfg.use_pallas or cfg.norm_type not in ("gLN", "cLN")
             or jax.default_backend() == "cpu"
             or getattr(cfg, "separator", "tcn") != "tcn"):
         return
     K = (T - cfg.kernel_size) // cfg.stride + 1
     key = ("train", batch, K, cfg.bottleneck, cfg.hidden, cfg.conv_kernel,
-           cfg.norm_type, cfg.causal, cfg.compute_dtype)
+           cfg.num_blocks, cfg.norm_type, cfg.causal, cfg.compute_dtype)
     if key in _PROBED_SHAPES:
         return
     ensure_probed(cfg, batch, T, verbose=verbose)
-    probe_fused_block_train(
+    disk_key = ":".join(str(x) for x in key)
+    cached = _autotune_cache_load().get(disk_key)
+    if cached is not None:
+        for d, w in cached.items():
+            _FUSED_BWD_READY[(int(d), cfg.norm_type, cfg.causal)] = w
+        if verbose:
+            import sys as _sys
+
+            print(f"pallas train probe: autotune winners loaded from disk "
+                  f"({disk_key})", file=_sys.stderr)
+        # compile-verify the fused pairs (cheap: XLA disk cache); a failure
+        # degrades that dilation to autodiff exactly like a lost race
+        probe_fused_block_train(
+            [2 ** i for i in range(cfg.num_blocks)],
+            K=K, batch=batch, bottleneck=cfg.bottleneck, hidden=cfg.hidden,
+            conv_kernel=cfg.conv_kernel, norm_type=cfg.norm_type,
+            causal=cfg.causal, dtype=jnp.dtype(cfg.compute_dtype),
+            verbose=verbose, verify_only=True)
+        _PROBED_SHAPES.add(key)
+        return
+    results = probe_fused_block_train(
         [2 ** i for i in range(cfg.num_blocks)],
         K=K, batch=batch, bottleneck=cfg.bottleneck, hidden=cfg.hidden,
         conv_kernel=cfg.conv_kernel, norm_type=cfg.norm_type,
         causal=cfg.causal, dtype=jnp.dtype(cfg.compute_dtype),
         verbose=verbose)
+    _autotune_cache_store(disk_key, results)
     _PROBED_SHAPES.add(key)

@@ -291,3 +291,77 @@ def test_ensure_probed_races_once_per_config(monkeypatch):
         tb._PROBED_SHAPES.update(saved_shapes)
         tb._PROBED_CONFIGS.clear()
         tb._PROBED_CONFIGS.update(saved_cfgs)
+
+
+def test_autotune_winners_persist_to_disk(monkeypatch, tmp_path):
+    """A fresh process (cleared registries) with the same (shape, config)
+    loads the recorded winners from disk and only compile-verifies them."""
+    from convtasnet_tpu.config import ConvTasNetConfig
+    from convtasnet_tpu.ops.pallas import tcn_block as tb
+
+    monkeypatch.setenv("CONVTASNET_COMPILE_CACHE", str(tmp_path))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    calls = []
+
+    def fake_probe(cfg, K, batch, verbose=False, verify_only=False):
+        calls.append(verify_only)
+        if not verify_only:
+            tb._FUSED_READY[(1, cfg.norm_type, cfg.causal)] = "store_f32"
+            tb._FUSED_READY[(2, cfg.norm_type, cfg.causal)] = None
+            return {1: "store_f32", 2: None}
+        return {d: tb._FUSED_READY.get((d, cfg.norm_type, cfg.causal))
+                for d in (1, 2)}
+
+    monkeypatch.setattr(tb, "probe_for_config", fake_probe)
+    saved = (dict(tb._FUSED_READY), set(tb._PROBED_SHAPES),
+             set(tb._PROBED_CONFIGS))
+    try:
+        tb._FUSED_READY.clear()
+        tb._PROBED_SHAPES.clear()
+        tb._PROBED_CONFIGS.clear()
+        cfg = ConvTasNetConfig(use_pallas=True, num_blocks=2)
+        tb.ensure_probed(cfg, 8, 32000, verbose=False)
+        assert calls == [False]
+        assert (tmp_path / "autotune.json").exists()
+
+        # "new process": registries and shape caches empty again
+        tb._FUSED_READY.clear()
+        tb._PROBED_SHAPES.clear()
+        tb._PROBED_CONFIGS.clear()
+        tb.ensure_probed(cfg, 8, 32000, verbose=False)
+        assert calls == [False, True]  # disk hit -> verify_only, no race
+        assert tb._FUSED_READY[(1, "gLN", False)] == "store_f32"
+        assert tb._FUSED_READY[(2, "gLN", False)] is None
+
+        # version bump invalidates
+        monkeypatch.setattr(tb, "_AUTOTUNE_CACHE_VERSION", 99)
+        tb._FUSED_READY.clear()
+        tb._PROBED_SHAPES.clear()
+        tb._PROBED_CONFIGS.clear()
+        tb.ensure_probed(cfg, 8, 32000, verbose=False)
+        assert calls == [False, True, False]  # stale cache -> full race
+    finally:
+        tb._FUSED_READY.clear()
+        tb._FUSED_READY.update(saved[0])
+        tb._PROBED_SHAPES.clear()
+        tb._PROBED_SHAPES.update(saved[1])
+        tb._PROBED_CONFIGS.clear()
+        tb._PROBED_CONFIGS.update(saved[2])
+
+
+def test_train_probe_verify_only_keeps_winner():
+    from convtasnet_tpu.ops.pallas import tcn_block as tb
+
+    saved = dict(tb._FUSED_BWD_READY)
+    try:
+        tb._FUSED_BWD_READY[(3, "gLN", False)] = "store"
+        tb._FUSED_BWD_READY[(5, "gLN", False)] = None
+        res = tb.probe_fused_block_train(
+            [3, 5], K=40, batch=2, bottleneck=8, hidden=16,
+            norm_type="gLN", causal=False, dtype=jnp.float32,
+            tile=48, verify_only=True)
+        assert res[5] is None
+        assert res[3] in ("store", None)  # None only if compile failed
+    finally:
+        tb._FUSED_BWD_READY.clear()
+        tb._FUSED_BWD_READY.update(saved)
