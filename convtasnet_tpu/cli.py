@@ -76,6 +76,12 @@ def _add_data_flags(p: argparse.ArgumentParser) -> None:
     g.add_argument("--sample-rate", type=int, default=8000)
     g.add_argument("--segment", type=float, default=4.0)
     g.add_argument("--cv-maxlen", type=float, default=8.0)
+    g.add_argument("--cv-skip-semantics", default="fixed",
+                   choices=["fixed", "reference"],
+                   help="over-long cv utterance handling: 'fixed' skips one "
+                        "utt at a time; 'reference' reproduces the "
+                        "reference's whole-window skip (src/data.py:124-128) "
+                        "for licensed-data parity runs")
     g.add_argument("--batch-size", type=int, default=3)
     g.add_argument("--max-hours", type=float, default=None)
     g.add_argument("--num-workers", type=int, default=4)
@@ -123,7 +129,9 @@ def _cfg_from_args(a: argparse.Namespace) -> TrainConfig:
             train_dir=getattr(a, "train_dir", ""),
             valid_dir=getattr(a, "valid_dir", ""),
             sample_rate=a.sample_rate, segment=a.segment,
-            cv_maxlen=a.cv_maxlen, batch_size=a.batch_size,
+            cv_maxlen=a.cv_maxlen,
+            cv_skip_semantics=getattr(a, "cv_skip_semantics", "fixed"),
+            batch_size=a.batch_size,
             max_hours=a.max_hours, shuffle=bool(a.shuffle),
             num_workers=a.num_workers),
         solver=SolverConfig(
@@ -199,7 +207,8 @@ def cmd_train(a) -> int:
     cv_ds = SeparationDataset(
         a.valid_dir, 1, cfg.data.sample_rate, segment=-1.0,
         cv_maxlen=cfg.data.cv_maxlen, num_speakers=cfg.model.num_speakers,
-        pad_rows_to_multiple=n_shards)
+        pad_rows_to_multiple=n_shards,
+        cv_skip_semantics=cfg.data.cv_skip_semantics)
     tr = BatchLoader(tr_ds, shuffle=cfg.data.shuffle, sharding=sharding,
                      num_workers=cfg.data.num_workers, seed=cfg.solver.seed)
     cv = BatchLoader(cv_ds, sharding=sharding,

@@ -84,6 +84,9 @@ class DataConfig:
     sample_rate: int = 8000
     segment: float = 4.0        # seconds; <0 => full utterances
     cv_maxlen: float = 8.0      # seconds; skip longer cv utts
+    # "fixed" (skip one over-long utt at a time) or "reference" (skip the
+    # whole batch_size window like src/data.py:124-128 — for parity runs)
+    cv_skip_semantics: str = "fixed"
     batch_size: int = 3         # segments per minibatch
     max_hours: Optional[float] = None
     shuffle: bool = True

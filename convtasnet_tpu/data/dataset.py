@@ -108,6 +108,7 @@ class SeparationDataset:
         max_hours: Optional[float] = None,
         num_speakers: int = 2,
         pad_rows_to_multiple: int = 1,
+        cv_skip_semantics: str = "fixed",
     ):
         self.json_dir = json_dir
         self.batch_size = batch_size
@@ -118,6 +119,11 @@ class SeparationDataset:
         self.segment = segment
         self.segment_len = int(segment * sample_rate) if segment >= 0 else -1
         self.cv_maxlen = cv_maxlen
+        if cv_skip_semantics not in ("fixed", "reference"):
+            raise ValueError(
+                f"cv_skip_semantics must be 'fixed' or 'reference', "
+                f"got {cv_skip_semantics!r}")
+        self.cv_skip_semantics = cv_skip_semantics
         self.num_speakers = num_speakers
         utts = _load_infos(json_dir, num_speakers)
         if segment >= 0:
@@ -168,11 +174,16 @@ class SeparationDataset:
         n = len(utts)
         while start < n:
             # Skip over-long utterances to bound memory (src/data.py:126).
-            # The reference skips a whole batch_size window when its head
-            # utterance is too long, silently dropping compliant utterances
-            # that share the window; we skip one utterance at a time.
+            # Default ("fixed"): skip one utterance at a time — the better
+            # behavior. "reference" reproduces src/data.py:124-128 exactly:
+            # a too-long window *head* discards the whole batch_size window,
+            # including compliant utterances sharing it — needed when
+            # matching the published 15.5 dB run bit-for-bit on what cv
+            # data is seen (SURVEY §7 hard part (a)).
             if utts[start].num_samples > maxlen:
-                start += 1
+                start = (min(n, start + bs)
+                         if self.cv_skip_semantics == "reference"
+                         else start + 1)
                 continue
             end = min(n, start + bs)
             hours += utts[start].num_samples / sr / 3600

@@ -93,29 +93,35 @@ def bss_eval_sources(
     reference_sources: np.ndarray,
     estimated_sources: np.ndarray,
     compute_permutation: bool = True,
+    flen: int = FLEN,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """-> (sdr [C], sir [C], sar [C], perm [C]): mir_eval-compatible contract.
 
     ``perm[j]`` is the estimate index assigned to reference j under the
     best-mean-SIR permutation (mir_eval resolves with SIR; we use SDR, which
     coincides in practice for separation eval).
+
+    Numerics are anchored to a direct design-matrix + lstsq oracle
+    (``tests/bss_oracle.py``) to < 0.01 dB on seeded correlated/filtered
+    C=2,3 cases — see ``tests/test_infer.py``.
     """
     refs = np.asarray(reference_sources, np.float64)
     ests = np.asarray(estimated_sources, np.float64)
     assert refs.shape == ests.shape
     C = refs.shape[0]
     T = refs.shape[1]
+    FLEN_ = flen
     sdr = np.zeros((C, C))
     sir = np.zeros((C, C))
     sar = np.zeros((C, C))
     for i in range(C):  # estimate i
         # the all-sources projection is independent of j: compute once
-        p_all = _project(refs, ests[i], FLEN)
-        e_artif = np.zeros(T + FLEN - 1)
+        p_all = _project(refs, ests[i], FLEN_)
+        e_artif = np.zeros(T + FLEN_ - 1)
         e_artif[:T] = ests[i]
         e_artif = e_artif - p_all
         for j in range(C):  # reference j
-            s_target = _project(refs[j:j + 1], ests[i], FLEN)
+            s_target = _project(refs[j:j + 1], ests[i], FLEN_)
             e_interf = p_all - s_target
             sdr[i, j], sir[i, j], sar[i, j] = _ratios(s_target, e_interf, e_artif)
     if not compute_permutation:

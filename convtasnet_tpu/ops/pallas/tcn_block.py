@@ -574,6 +574,76 @@ def _time_or_none(fn, x, inner: int = 150, retries: int = 1):
     return None
 
 
+def _rel_err(got, want) -> float:
+    """Relative L2 error ||got - want|| / ||want|| in float32."""
+    import numpy as _np
+
+    g = _np.asarray(got).astype(_np.float32).ravel()
+    w = _np.asarray(want).astype(_np.float32).ravel()
+    return float(_np.linalg.norm(g - w) / (_np.linalg.norm(w) + 1e-12))
+
+
+def _numerics_tol(dtype) -> float:
+    """Acceptance tolerance (relative L2) for fused-vs-XLA outputs. bf16
+    VMEM scratches bound elementwise accuracy at ~1e-2; a miscompile
+    produces O(1) error, so the gate separates them by >10x either way."""
+    return 4e-2 if jnp.dtype(dtype) == jnp.bfloat16 else 2e-3
+
+
+def _verify_numerics(exec_fns: dict, ref_fn, tol: float):
+    """Run each (already-compiled) candidate once and compare against the
+    XLA reference output on-device. Returns ``(ok_names, errs, verified)``.
+
+    A candidate whose execution fails or whose relative error exceeds
+    ``tol`` is excluded from ``ok_names``. If the XLA reference itself
+    cannot be computed, every candidate is kept (``verified=False``) —
+    there is nothing to compare against and the compile already succeeded.
+    This is the trust gate on probe winners: timing races alone would admit
+    a silently-miscompiled kernel (fast garbage) into training.
+    """
+    try:
+        ref = jax.device_get(ref_fn())
+    except Exception:  # noqa: BLE001 — compile service / runtime
+        return set(exec_fns), {}, False
+    ok, errs = set(), {}
+    for name, run in exec_fns.items():
+        try:
+            err = _rel_err(jax.device_get(run()), ref)
+        except Exception:  # noqa: BLE001
+            err = float("inf")
+        errs[name] = err
+        if err <= tol:
+            ok.add(name)
+    return ok, errs, True
+
+
+def _train_grads_numerics(fused10, xla10, x, wargs, tol: float):
+    """Numerics gate for a raced train winner: compare ALL ten cotangents
+    (dx + every weight/affine/slope grad) of the fused train path against
+    XLA autodiff of the block math. Returns ``(ok, max_rel_err)``; the
+    reference failing to build returns ``(True, nan)`` (cannot verify)."""
+
+    def full_grads(block10):
+        def f(xx):
+            def loss(*a):
+                return jnp.sum(block10(*a))
+
+            return jax.grad(loss, argnums=tuple(range(10)))(xx, *wargs)
+
+        return f
+
+    try:
+        ref = jax.device_get(jax.jit(full_grads(xla10))(x))
+    except Exception:  # noqa: BLE001
+        return True, float("nan")
+    try:
+        got = jax.device_get(jax.jit(full_grads(fused10))(x))
+    except Exception:  # noqa: BLE001
+        return False, float("inf")
+    m = max(_rel_err(g, w) for g, w in zip(got, ref))
+    return m <= tol, m
+
+
 def _race(candidates: dict, xla_fn, x, inner: int):
     """Time every candidate + the XLA baseline; return the winner name or
     None (=XLA). Candidates whose timing fails are dropped; if the XLA
@@ -610,10 +680,11 @@ def probe_fused_block(
     interpret: bool = False,
     autotune: bool = True,
     verify_only: bool = False,
+    check_numerics: Optional[bool] = None,
 ) -> dict:
-    """AOT-compile and time the fused kernel variants for each dilation;
-    record the fastest implementation (including "none — XLA wins") in the
-    registry.
+    """AOT-compile, numerics-check, and time the fused kernel variants for
+    each dilation; record the fastest implementation (including "none — XLA
+    wins") in the registry.
 
     Returns {dilation: "store" | "recompute" | None}. Compile failures
     (e.g. transient HTTP 500s from a remote Mosaic compile service) are
@@ -633,8 +704,18 @@ def probe_fused_block(
     the model's jit would have no per-block fallback. A winner that fails
     to compile here degrades that dilation to XLA (globally — safe, merely
     pessimal for other shapes).
+
+    ``check_numerics`` (default: on for real-backend probes, off in
+    interpret mode): every compiled candidate — including a verify_only
+    winner at a new shape — is executed once and its output compared
+    against the XLA block on-device (``_verify_numerics``); a mismatching
+    candidate is rejected before any timing race, so a silent Mosaic
+    miscompile degrades to XLA instead of winning on speed.
     """
     import numpy as _np
+
+    if check_numerics is None:
+        check_numerics = not interpret
 
     results = {}
     rng = _np.random.default_rng(0)
@@ -671,6 +752,7 @@ def probe_fused_block(
                 continue
             to_try = [(n, s, h) for n, s, h in variants if n == winner]
         compiled = {}
+        aot = {}
         for name, store, h_dt in to_try:
             fn = functools.partial(
                 fused_tcn_block, dilation=d, causal=causal,
@@ -679,7 +761,7 @@ def probe_fused_block(
             err = None
             for _ in range(retries + 1):
                 try:
-                    jax.jit(fn).lower(
+                    aot[name] = jax.jit(fn).lower(
                         x, w_in, dw, w_out, a, a, g1, gb, g1, gb).compile()
                     compiled[name] = (
                         lambda xx, _fn=fn: _fn(xx, w_in, dw, w_out, a, a,
@@ -693,6 +775,29 @@ def probe_fused_block(
 
                 print(f"pallas probe d={d} {name}: compile failed "
                       f"({type(err).__name__})", file=_sys.stderr)
+        if compiled and check_numerics:
+            # Numerics gate: one forward per candidate (the AOT-compiled
+            # executable — no extra compile) vs one XLA-block forward.
+            tol = _numerics_tol(dtype)
+            wargs = (w_in, dw, w_out, a, a, g1, gb, g1, gb)
+            ok, errs, verified = _verify_numerics(
+                {n: (lambda _e=aot[n]: _e(x, *wargs)) for n in compiled},
+                lambda: jax.jit(xla_fn(d))(x), tol)
+            if verbose:
+                import sys as _sys
+
+                if verified:
+                    detail = " ".join(
+                        f"{k}={errs[k]:.2e}" for k in sorted(errs))
+                    print(f"pallas probe d={d}: numerics vs xla "
+                          f"(tol {tol:g}): {detail}", file=_sys.stderr)
+                else:
+                    print(f"pallas probe d={d}: numerics UNVERIFIED "
+                          f"(xla reference failed)", file=_sys.stderr)
+                for n in sorted(set(compiled) - ok):
+                    print(f"pallas probe d={d} {n}: REJECTED on numerics "
+                          f"(rel err {errs[n]:.2e})", file=_sys.stderr)
+            compiled = {n: f for n, f in compiled.items() if n in ok}
         if not compiled:
             best = None
             if verify_only and verbose:
@@ -769,6 +874,8 @@ def probe_fused_block_train(
     verbose: bool = False,
     autotune: bool = True,
     verify_only: bool = False,
+    interpret: bool = False,
+    check_numerics: Optional[bool] = None,
 ) -> dict:
     """AOT-compile and race the TRAINING path per dilation: full
     forward+backward through (a) plain XLA autodiff, (b) the fused Pallas
@@ -781,8 +888,17 @@ def probe_fused_block_train(
     ``verify_only``: compile-check only each dilation's already-recorded
     registry winner (e.g. loaded from the disk autotune cache) — no races;
     a failed compile degrades that dilation to autodiff.
+
+    ``check_numerics`` (default: on except in interpret mode): a fused
+    winner — raced or verify_only — must also reproduce ALL ten autodiff
+    cotangents on-device (``_train_grads_numerics``) before it is recorded;
+    a mismatch demotes that dilation to plain autodiff. A fast-but-wrong
+    backward would otherwise silently corrupt training.
     """
     import numpy as _np
+
+    if check_numerics is None:
+        check_numerics = not interpret
 
     results = {}
     rng = _np.random.default_rng(0)
@@ -815,7 +931,7 @@ def probe_fused_block_train(
         # bf16, only the VMEM activation scratches widen.
         bwd_variants = bwd_variants + tuple(v + "_f32" for v in bwd_variants)
     for d in sorted(set(int(d) for d in dilations)):
-        static = (d, causal, norm_type, tile, False)
+        static = (d, causal, norm_type, tile, interpret)
         xla10 = lambda *args: _xla_block(static, *args, gb, g1, gb, g1)  # noqa: E731
         fwd_variant = _FUSED_READY.get((d, norm_type, causal))
         store_h2, h_dt = variant_params(fwd_variant)
@@ -831,7 +947,7 @@ def probe_fused_block_train(
             fn = grad_fn(functools.partial(
                 fused_tcn_block_ad, dilation=d, causal=causal,
                 norm_type=norm_type, tile=tile, store_h2=store_h2,
-                h_dtype=h_dt, bwd=bwd))
+                h_dtype=h_dt, interpret=interpret, bwd=bwd))
             err = None
             for _ in range(retries + 1):
                 try:
@@ -861,6 +977,23 @@ def probe_fused_block_train(
                       f"({detail})", file=_sys.stderr)
         else:
             best = next(iter(candidates))
+        if best is not None and check_numerics:
+            fused10 = functools.partial(
+                fused_tcn_block_ad, dilation=d, causal=causal,
+                norm_type=norm_type, tile=tile, store_h2=store_h2,
+                h_dtype=h_dt, interpret=interpret, bwd=best)
+            tol = 2 * _numerics_tol(dtype)
+            wargs = (w_in, dw, w_out, a, a, g1, gb, g1, gb)
+            ok, merr = _train_grads_numerics(fused10, xla10, x, wargs, tol)
+            if verbose:
+                import sys as _sys
+
+                state = "ok" if ok else "REJECTED"
+                print(f"pallas train probe d={d}: grads numerics vs "
+                      f"autodiff (tol {tol:g}): max rel err {merr:.2e} "
+                      f"[{state}]", file=_sys.stderr)
+            if not ok:
+                best = None
         _FUSED_BWD_READY[(d, norm_type, causal)] = best
         results[d] = best
     return results
@@ -869,28 +1002,69 @@ def probe_fused_block_train(
 _PROBED_SHAPES: set = set()
 _PROBED_CONFIGS: set = set()
 
-# Disk-persisted autotune winners. Bump when kernel/backward semantics or
-# the variant set change (stale winners would race differently).
-_AUTOTUNE_CACHE_VERSION = 2
+# Disk-persisted autotune winners. The format version covers the JSON
+# layout only; semantic invalidation is automatic via ``_env_fingerprint``
+# (device kind + jax/jaxlib versions + kernel source hash), so editing the
+# kernels or moving the cache to another chip re-races without any manual
+# version bump.
+_AUTOTUNE_CACHE_VERSION = 3
 
 
 def _autotune_cache_path() -> str:
     import os
 
-    d = os.environ.get("CONVTASNET_COMPILE_CACHE", "")
+    d = os.environ.get("CONVTASNET_AUTOTUNE_CACHE", "")
+    if not d:
+        d = os.environ.get("CONVTASNET_COMPILE_CACHE", "")
     if d in ("0", ""):  # "0" disables the XLA cache, not this registry
         d = os.path.join(os.path.expanduser("~"), ".cache", "convtasnet_tpu")
     return os.path.join(d, "autotune.json")
 
 
+@functools.lru_cache(maxsize=1)
+def _kernel_source_hash() -> str:
+    """Hash of the kernel sources — any edit to this file or the backward
+    kernel automatically invalidates persisted autotune winners."""
+    import hashlib
+    import os
+
+    h = hashlib.sha256()
+    d = os.path.dirname(os.path.abspath(__file__))
+    for name in ("tcn_block.py", "tcn_block_bwd.py"):
+        try:
+            with open(os.path.join(d, name), "rb") as f:
+                h.update(f.read())
+        except OSError:
+            h.update(name.encode())
+    return h.hexdigest()[:16]
+
+
+def _env_fingerprint() -> str:
+    """Winners are trusted only in the environment that raced them: device
+    kind (a v5e winner is meaningless on v4), jax/jaxlib versions (Mosaic
+    codegen changes shift the race), and the kernel source hash."""
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:  # noqa: BLE001 — backend init failure
+        kind = "unknown"
+    try:
+        import jaxlib
+
+        jl = getattr(jaxlib, "__version__", "unknown")
+    except ImportError:
+        jl = "unknown"
+    return "|".join([kind, jax.__version__, jl, _kernel_source_hash()])
+
+
 def _autotune_cache_load() -> dict:
     import json
-    import os
 
     try:
         with open(_autotune_cache_path()) as f:
             data = json.load(f)
         if data.get("version") != _AUTOTUNE_CACHE_VERSION:
+            return {}
+        if data.get("env") != _env_fingerprint():
             return {}
         return data.get("entries", {})
     except (OSError, ValueError):
@@ -898,19 +1072,31 @@ def _autotune_cache_load() -> dict:
 
 
 def _autotune_cache_store(key: str, winners: dict) -> None:
+    """Merge one entry into the on-disk winners under an exclusive lock —
+    two processes racing different shapes (e.g. bench + driver) must not
+    drop each other's multi-minute race results. Best-effort: any OS error
+    leaves the cache unchanged."""
     import json
     import os
 
     path = _autotune_cache_path()
     try:
-        entries = _autotune_cache_load()
-        entries[key] = {str(d): w for d, w in winners.items()}
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"version": _AUTOTUNE_CACHE_VERSION,
-                       "entries": entries}, f)
-        os.replace(tmp, path)
+        with open(path + ".lock", "w") as lockf:
+            try:
+                import fcntl
+
+                fcntl.flock(lockf, fcntl.LOCK_EX)
+            except (ImportError, OSError):
+                pass  # locking unavailable: fall back to unlocked merge
+            entries = _autotune_cache_load()
+            entries[key] = {str(d): w for d, w in winners.items()}
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"version": _AUTOTUNE_CACHE_VERSION,
+                           "env": _env_fingerprint(),
+                           "entries": entries}, f)
+            os.replace(tmp, path)
     except OSError:
         pass  # cache is best-effort
 
@@ -940,8 +1126,10 @@ def ensure_probed(cfg, batch: int, T: int, verbose: bool = True) -> None:
     verify_only = cfg_key in _PROBED_CONFIGS
     disk_key = "fwd:" + ":".join(str(x) for x in key)
     if not verify_only:
+        # truthiness, not `is not None`: an empty entry ({}) must re-race,
+        # not install zero winners and permanently degrade to XLA
         cached = _autotune_cache_load().get(disk_key)
-        if cached is not None:
+        if cached:
             for d, w in cached.items():
                 _FUSED_READY[(int(d), cfg.norm_type, cfg.causal)] = w
             verify_only = True
@@ -976,8 +1164,8 @@ def ensure_probed_train(cfg, batch: int, T: int, verbose: bool = True) -> None:
         return
     ensure_probed(cfg, batch, T, verbose=verbose)
     disk_key = ":".join(str(x) for x in key)
-    cached = _autotune_cache_load().get(disk_key)
-    if cached is not None:
+    cached = _autotune_cache_load().get(disk_key)  # truthy: {} re-races
+    if cached:
         for d, w in cached.items():
             _FUSED_BWD_READY[(int(d), cfg.norm_type, cfg.causal)] = w
         if verbose:

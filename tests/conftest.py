@@ -8,6 +8,7 @@ environment, so plain env-var overrides here are too late — use
 """
 
 import os
+import tempfile
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -15,6 +16,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+# Hermeticity: the autotune-winner disk cache (ops/pallas/tcn_block) must
+# never read or write the user's real ~/.cache during tests — a warm cache
+# from a bench run would leak into probe tests (round-2 VERDICT weak #1).
+# Individual tests still monkeypatch this var to their own tmp_path.
+os.environ["CONVTASNET_AUTOTUNE_CACHE"] = tempfile.mkdtemp(
+    prefix="convtasnet-test-autotune-")
 
 import jax
 

@@ -6,6 +6,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from convtasnet_tpu.data.audio_io import read_wav, wav_duration_samples, write_wav
 from convtasnet_tpu.data.dataset import EvalDataset, SeparationDataset
@@ -132,6 +133,29 @@ def test_full_utterance_mode_and_cv_maxlen(tmp_path):
     assert batch.lengths.max() == 40000
     # padding region is zeros
     assert np.all(batch.mixture[batch.lengths.argmin(), 30000:] == 0)
+
+
+def test_cv_skip_semantics_fixed_vs_reference(tmp_path):
+    """Pin both over-long-cv-utterance behaviors: 'fixed' drops only the
+    offending utterance; 'reference' reproduces src/data.py:124-128, where
+    a too-long window head discards the whole batch_size window (including
+    the compliant utterances that share it)."""
+    # sorted desc: [80000, 46000, 44000, 30000]; cv_maxlen=6s -> 48000 cap.
+    lengths = [46000, 80000, 30000, 44000]
+    fixed = _dataset(tmp_path, lengths, batch_size=2, segment=-1.0,
+                     cv_maxlen=6.0, cv_skip_semantics="fixed")
+    planned = [u.num_samples for b in fixed.plan for u in b]
+    assert planned == [46000, 44000, 30000]  # only the 80000 dropped
+
+    ref = _dataset(tmp_path, lengths, batch_size=2, segment=-1.0,
+                   cv_maxlen=6.0, cv_skip_semantics="reference")
+    planned_ref = [u.num_samples for b in ref.plan for u in b]
+    # window [80000, 46000]: head too long -> whole window skipped,
+    # 46000 is silently lost; next window [44000, 30000] survives.
+    assert planned_ref == [44000, 30000]
+
+    with pytest.raises(ValueError):
+        _dataset(tmp_path, lengths, segment=-1.0, cv_skip_semantics="bogus")
 
 
 def test_loader_iterates_and_shuffles(tmp_path):

@@ -263,12 +263,13 @@ def test_probe_verify_only_keeps_winner_and_skips_races():
         tb._FUSED_READY.update(saved)
 
 
-def test_ensure_probed_races_once_per_config(monkeypatch):
+def test_ensure_probed_races_once_per_config(monkeypatch, tmp_path):
     """The second distinct shape of the same config must go through the
     verify_only fast path, not a full autotune race."""
     from convtasnet_tpu.config import ConvTasNetConfig
     from convtasnet_tpu.ops.pallas import tcn_block as tb
 
+    monkeypatch.setenv("CONVTASNET_AUTOTUNE_CACHE", str(tmp_path))
     calls = []
 
     def fake_probe(cfg, K, batch, verbose=False, verify_only=False):
@@ -299,7 +300,7 @@ def test_autotune_winners_persist_to_disk(monkeypatch, tmp_path):
     from convtasnet_tpu.config import ConvTasNetConfig
     from convtasnet_tpu.ops.pallas import tcn_block as tb
 
-    monkeypatch.setenv("CONVTASNET_COMPILE_CACHE", str(tmp_path))
+    monkeypatch.setenv("CONVTASNET_AUTOTUNE_CACHE", str(tmp_path))
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     calls = []
 
@@ -347,6 +348,195 @@ def test_autotune_winners_persist_to_disk(monkeypatch, tmp_path):
         tb._PROBED_SHAPES.update(saved[1])
         tb._PROBED_CONFIGS.clear()
         tb._PROBED_CONFIGS.update(saved[2])
+
+
+def _clear_probe_state(tb):
+    tb._FUSED_READY.clear()
+    tb._PROBED_SHAPES.clear()
+    tb._PROBED_CONFIGS.clear()
+
+
+def test_autotune_cache_env_fingerprint_invalidates(monkeypatch, tmp_path):
+    """Winners written under one environment fingerprint (device kind /
+    jax version / kernel source hash) are not trusted under another."""
+    from convtasnet_tpu.config import ConvTasNetConfig
+    from convtasnet_tpu.ops.pallas import tcn_block as tb
+
+    monkeypatch.setenv("CONVTASNET_AUTOTUNE_CACHE", str(tmp_path))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    calls = []
+
+    def fake_probe(cfg, K, batch, verbose=False, verify_only=False):
+        calls.append(verify_only)
+        if not verify_only:
+            tb._FUSED_READY[(1, cfg.norm_type, cfg.causal)] = "store"
+            return {1: "store"}
+        return {1: tb._FUSED_READY.get((1, cfg.norm_type, cfg.causal))}
+
+    monkeypatch.setattr(tb, "probe_for_config", fake_probe)
+    saved = (dict(tb._FUSED_READY), set(tb._PROBED_SHAPES),
+             set(tb._PROBED_CONFIGS))
+    try:
+        _clear_probe_state(tb)
+        cfg = ConvTasNetConfig(use_pallas=True, num_blocks=1)
+        tb.ensure_probed(cfg, 8, 32000, verbose=False)
+        assert calls == [False]
+
+        # same env: disk hit -> verify_only
+        _clear_probe_state(tb)
+        tb.ensure_probed(cfg, 8, 32000, verbose=False)
+        assert calls == [False, True]
+
+        # "new chip / new jaxlib / edited kernel": full re-race
+        monkeypatch.setattr(tb, "_env_fingerprint", lambda: "other-env")
+        _clear_probe_state(tb)
+        tb.ensure_probed(cfg, 8, 32000, verbose=False)
+        assert calls == [False, True, False]
+    finally:
+        _clear_probe_state(tb)
+        tb._FUSED_READY.update(saved[0])
+        tb._PROBED_SHAPES.update(saved[1])
+        tb._PROBED_CONFIGS.update(saved[2])
+
+
+def test_autotune_cache_empty_entry_reraces(monkeypatch, tmp_path):
+    """An empty cached entry ({}) is NOT a disk hit: it must re-race, not
+    install zero winners and silently degrade every dilation to XLA."""
+    from convtasnet_tpu.config import ConvTasNetConfig
+    from convtasnet_tpu.ops.pallas import tcn_block as tb
+
+    monkeypatch.setenv("CONVTASNET_AUTOTUNE_CACHE", str(tmp_path))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    calls = []
+
+    def fake_probe(cfg, K, batch, verbose=False, verify_only=False):
+        calls.append(verify_only)
+        return {}
+
+    monkeypatch.setattr(tb, "probe_for_config", fake_probe)
+    saved = (dict(tb._FUSED_READY), set(tb._PROBED_SHAPES),
+             set(tb._PROBED_CONFIGS))
+    try:
+        _clear_probe_state(tb)
+        cfg = ConvTasNetConfig(use_pallas=True, num_blocks=1)
+        tb.ensure_probed(cfg, 8, 32000, verbose=False)  # stores {}
+        _clear_probe_state(tb)
+        tb.ensure_probed(cfg, 8, 32000, verbose=False)
+        assert calls == [False, False]  # {} on disk -> full race again
+    finally:
+        _clear_probe_state(tb)
+        tb._FUSED_READY.update(saved[0])
+        tb._PROBED_SHAPES.update(saved[1])
+        tb._PROBED_CONFIGS.update(saved[2])
+
+
+def test_verify_numerics_gate():
+    """The probe numerics gate: matching candidates pass, mismatching and
+    crashing candidates are rejected, and an unavailable reference keeps
+    every candidate (cannot verify)."""
+    from convtasnet_tpu.ops.pallas import tcn_block as tb
+
+    ref = np.ones((4, 8), np.float32)
+
+    def boom():
+        raise RuntimeError("runtime failure")
+
+    fns = {
+        "good": lambda: ref + 1e-5,
+        "bad": lambda: ref * 3.0,
+        "crash": boom,
+    }
+    ok, errs, verified = tb._verify_numerics(fns, lambda: ref, tol=1e-3)
+    assert verified
+    assert ok == {"good"}
+    assert errs["bad"] > 1.0
+    assert errs["crash"] == float("inf")
+
+    ok2, _, verified2 = tb._verify_numerics(fns, boom, tol=1e-3)
+    assert not verified2
+    assert ok2 == set(fns)  # reference unavailable: keep (compile passed)
+
+
+def test_probe_numerics_gate_rejects_bad_candidate(monkeypatch):
+    """End-to-end probe with the numerics gate forced on (interpret mode on
+    CPU): a candidate reported as mismatching by the gate cannot win."""
+    from convtasnet_tpu.ops.pallas import tcn_block as tb
+
+    real_verify = tb._verify_numerics
+
+    def reject_store(exec_fns, ref_fn, tol):
+        ok, errs, verified = real_verify(exec_fns, ref_fn, tol)
+        ok.discard("store")  # pretend "store" miscompiled
+        errs["store"] = 1.0
+        return ok, errs, verified
+
+    monkeypatch.setattr(tb, "_verify_numerics", reject_store)
+    saved = dict(tb._FUSED_READY)
+    try:
+        res = tb.probe_fused_block(
+            [2], K=40, batch=2, bottleneck=8, hidden=16,
+            norm_type="gLN", causal=False, dtype=jnp.float32,
+            tile=48, interpret=True, autotune=False, check_numerics=True)
+        assert res[2] == "recompute"  # the surviving gLN variant wins
+        assert tb._FUSED_READY[(2, "gLN", False)] == "recompute"
+    finally:
+        tb._FUSED_READY.clear()
+        tb._FUSED_READY.update(saved)
+
+
+def test_probe_numerics_gate_passes_correct_kernels():
+    """With no tampering, every interpret-mode variant passes the on-device
+    numerics gate (f32: tight tolerance) and probing still records one."""
+    from convtasnet_tpu.ops.pallas import tcn_block as tb
+
+    saved = dict(tb._FUSED_READY)
+    try:
+        res = tb.probe_fused_block(
+            [1], K=40, batch=2, bottleneck=8, hidden=16,
+            norm_type="cLN", causal=True, dtype=jnp.float32,
+            tile=48, interpret=True, autotune=False, check_numerics=True)
+        assert res[1] == "store"
+    finally:
+        tb._FUSED_READY.clear()
+        tb._FUSED_READY.update(saved)
+
+
+def test_train_probe_numerics_gate_demotes_bad_winner(monkeypatch):
+    """A train-path winner whose all-cotangent check fails is demoted to
+    plain autodiff (None)."""
+    from convtasnet_tpu.ops.pallas import tcn_block as tb
+
+    monkeypatch.setattr(
+        tb, "_train_grads_numerics",
+        lambda fused10, xla10, x, wargs, tol: (False, 1.0))
+    saved = dict(tb._FUSED_BWD_READY)
+    try:
+        res = tb.probe_fused_block_train(
+            [1], K=40, batch=2, bottleneck=8, hidden=16,
+            norm_type="cLN", causal=False, dtype=jnp.float32,
+            tile=48, autotune=False, interpret=True, check_numerics=True)
+        assert res[1] is None
+        assert tb._FUSED_BWD_READY[(1, "cLN", False)] is None
+    finally:
+        tb._FUSED_BWD_READY.clear()
+        tb._FUSED_BWD_READY.update(saved)
+
+
+def test_train_probe_numerics_gate_passes_correct_backward():
+    """The real fused backward passes the all-cotangent gate in interpret
+    mode and stays recorded."""
+    from convtasnet_tpu.ops.pallas import tcn_block as tb
+
+    saved = dict(tb._FUSED_BWD_READY)
+    try:
+        res = tb.probe_fused_block_train(
+            [1], K=40, batch=2, bottleneck=8, hidden=16,
+            norm_type="cLN", causal=False, dtype=jnp.float32,
+            tile=48, autotune=False, interpret=True, check_numerics=True)
+        assert res[1] in ("store", "store_f32")
+    finally:
+        tb._FUSED_BWD_READY.clear()
+        tb._FUSED_BWD_READY.update(saved)
 
 
 def test_train_probe_verify_only_keeps_winner():
