@@ -26,7 +26,8 @@ import numpy as np
 INNER = 10
 
 
-def main(batch_size: int = 8, seconds: float = 4.0, trials: int = 5) -> None:
+def main(batch_size: int = 8, seconds: float = 4.0, trials: int = 5,
+         profile_dir: str = "") -> None:
     from convtasnet_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
@@ -65,6 +66,13 @@ def main(batch_size: int = 8, seconds: float = 4.0, trials: int = 5) -> None:
 
     rtt_s = rtt_baseline(mixture, trials=trials)
     jax.device_get(fwd(params, mixture))  # extra warmup beyond compile
+    if profile_dir:
+        # --profile DIR: trace one timed chain (host-side events only
+        # through the relay — see utils/metrics.profile)
+        from convtasnet_tpu.utils.metrics import profile
+
+        with profile(profile_dir):
+            jax.device_get(fwd(params, mixture))
     dt = max(median_fetch_seconds(fwd, params, mixture, trials=trials)
              - rtt_s, 1e-9)
 
@@ -106,9 +114,15 @@ def fallback(batch_size: int = 8, seconds: float = 4.0, trials: int = 8) -> None
 
 
 if __name__ == "__main__":
-    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    args = list(sys.argv[1:])
+    prof = ""
+    if "--profile" in args:
+        i = args.index("--profile")
+        prof = args[i + 1]
+        del args[i:i + 2]
+    bs = int(args[0]) if args else 8
     try:
-        main(batch_size=bs)
+        main(batch_size=bs, profile_dir=prof)
     except Exception as e:  # compile-service flakiness: degrade gracefully
         print(f"chained bench failed ({type(e).__name__}); falling back",
               file=sys.stderr)

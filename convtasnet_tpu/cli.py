@@ -106,6 +106,13 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--steps-per-call", type=int, default=1,
                    help="optimizer steps per device dispatch (lax.scan)")
+    g.add_argument("--profile", default="", metavar="DIR",
+                   help="write a JAX profiler trace of the first epoch's "
+                        "steady-state steps to DIR (view with "
+                        "xprof/tensorboard; through a tunneled backend the "
+                        "trace is host-side only)")
+    g.add_argument("--profile-steps", type=int, default=10,
+                   help="steps to trace with --profile")
     g.add_argument("--n-data", type=int, default=-1,
                    help="devices on the data-parallel mesh axis (-1 = all)")
 
@@ -142,7 +149,9 @@ def _cfg_from_args(a: argparse.Namespace) -> TrainConfig:
             enable_checkpoint=bool(a.enable_checkpoint),
             model_path=a.model_path, continue_from=a.continue_from,
             print_freq=a.print_freq, seed=a.seed,
-            steps_per_call=getattr(a, "steps_per_call", 1)),
+            steps_per_call=getattr(a, "steps_per_call", 1),
+            profile_dir=getattr(a, "profile", "") or "",
+            profile_steps=getattr(a, "profile_steps", 10)),
         mesh=MeshConfig(data_axis=a.n_data),
     )
 
@@ -154,6 +163,29 @@ def cmd_prepare(a) -> int:
         read_pair_list,
     )
 
+    if getattr(a, "wsj0_root", ""):
+        # one-command stage 0: raw sphere disc tree + MERL lists ->
+        # wav{8,16}k/{min,max}/{tr,cv,tt} trees (data_prepare.sh +
+        # create_wav_2speakers.m in one step, no sph2pipe/MATLAB)
+        from convtasnet_tpu.tools.wsj0 import prepare_wsj0
+
+        if not a.lists_dir:
+            print("--wsj0-root requires --lists-dir "
+                  "(the MERL mix_2_spk_{tr,cv,tt}.txt directory)",
+                  file=sys.stderr)
+            return 2
+        summary = prepare_wsj0(
+            a.wsj0_root, a.lists_dir, a.out_dir,
+            num_speakers=getattr(a, "C", 2))
+        total = sum(summary.values())
+        print(f"wsj0 stage 0 complete: {total} mixtures "
+              f"({', '.join(f'{k}={v}' for k, v in summary.items())}) "
+              f"x 4 variants in {a.out_dir}")
+        return 0
+    if not a.pair_list:
+        print("either --pair-list or --wsj0-root is required",
+              file=sys.stderr)
+        return 2
     rows = read_pair_list(a.pair_list)
     if getattr(a, "all_variants", 0):
         # 8k+16k x min+max in one pass (create_wav_2speakers.m:157-181)
@@ -351,7 +383,7 @@ def main(argv=None) -> int:
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("prepare", help="generate mixture corpus (stage 0)")
-    p.add_argument("--pair-list", required=True)
+    p.add_argument("--pair-list", default="")
     p.add_argument("--out-dir", required=True)
     p.add_argument("--source-root", default="")
     p.add_argument("--sample-rate", type=int, default=8000)
@@ -359,6 +391,16 @@ def main(argv=None) -> int:
     p.add_argument("--all-variants", type=int, default=0,
                    help="emit 8k+16k x min+max trees in one pass "
                         "(MATLAB generator parity)")
+    p.add_argument("--wsj0-root", default="",
+                   help="raw WSJ0 sphere disc tree: decode .wv1/.wv2 "
+                        "natively and build the full wsj0-2mix corpus "
+                        "(with --lists-dir; replaces sph2pipe + MATLAB)")
+    p.add_argument("--lists-dir", default="",
+                   help="directory containing the MERL "
+                        "mix_2_spk_{tr,cv,tt}.txt pairing lists")
+    p.add_argument("--C", type=int, default=2,
+                   help="speakers per mixture (list files named "
+                        "mix_<C>_spk_*.txt for C != 2)")
     p.set_defaults(fn=cmd_prepare)
 
     p = sub.add_parser("preprocess", help="build JSON manifests (stage 1)")

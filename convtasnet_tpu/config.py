@@ -121,6 +121,10 @@ class SolverConfig:
     print_freq: int = 10
     seed: int = 0
     steps_per_call: int = 1   # optimizer steps per device dispatch (lax.scan)
+    # JAX profiler: trace `profile_steps` steady-state steps of the first
+    # epoch into `profile_dir` (empty = off). SURVEY §5 tracing subsystem.
+    profile_dir: str = ""
+    profile_steps: int = 10
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)

@@ -171,6 +171,7 @@ def create_mixtures_multi(
     modes: Sequence[str] = ("min", "max"),
     source_root: str = "",
     peak: float = 0.9,
+    split: str = "",
 ) -> List[str]:
     """All (rate, mode) variants in ONE pass over the sources.
 
@@ -180,7 +181,8 @@ def create_mixtures_multi(
     (``create_wav_2speakers.m:157-181``). Each source is read once at its
     native rate, then resampled + P.56-normalized per target rate; min/max
     share those normalized sources. Output tree:
-    ``out_root/wav{R}k/{mode}/{s1..sC,mix}/<name>.wav``.
+    ``out_root/wav{R}k/{mode}[/{split}]/{s1..sC,mix}/<name>.wav`` — with
+    ``split`` (tr/cv/tt) this is exactly the MATLAB generator's layout.
     """
     for mode in modes:
         assert mode in ("min", "max"), mode
@@ -188,7 +190,7 @@ def create_mixtures_multi(
     variants = [(sr, mode) for sr in sample_rates for mode in modes]
     dirs = {}
     for sr, mode in variants:
-        d = os.path.join(out_root, f"wav{sr // 1000}k", mode)
+        d = os.path.join(out_root, f"wav{sr // 1000}k", mode, split)
         dirs[(sr, mode)] = d
         _make_dirs(d, C)
 

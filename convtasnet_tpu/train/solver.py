@@ -151,12 +151,20 @@ class Solver:
 
     # -- epoch passes ------------------------------------------------------
     def _run_train_epoch(self, epoch: int) -> float:
+        from convtasnet_tpu.utils.metrics import StepProfiler
+
         self.tr_loader.set_epoch(epoch)
         start = time.time()
         losses = []
         pending = []  # device scalars, fetched lazily
         group = []    # batches buffered for one multi-step dispatch
         i = 0
+        s = self.cfg.solver
+        # profile a steady-state window of the first trained epoch (step 0
+        # is the compile+warmup step and is excluded)
+        profiler = StepProfiler(
+            s.profile_dir, start_step=1, num_steps=s.profile_steps,
+            enabled=bool(s.profile_dir) and epoch == self.start_epoch)
 
         def flush_group():
             nonlocal group
@@ -177,6 +185,7 @@ class Solver:
         for batch in self.tr_loader:
             if self._interrupted:
                 break
+            profiler.step(i)
             if self.steps_per_call > 1:
                 group.append(batch)
                 if len(group) == self.steps_per_call:
@@ -193,6 +202,7 @@ class Solver:
                 self.logger.log_iter(
                     epoch, i - 1,
                     {"loss": losses[-1], "avg_loss": avg, "ms_per_batch": ms})
+        profiler.close()
         # tail: single-step the remainder (avoids a second scan compile);
         # on interruption the buffered batches are dropped un-stepped so the
         # checkpoint is written immediately

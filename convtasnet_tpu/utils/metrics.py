@@ -73,7 +73,14 @@ class MetricsLogger:
 
 @contextlib.contextmanager
 def profile(log_dir: str, enabled: bool = True):
-    """JAX profiler trace around a block; view with xprof/tensorboard."""
+    """JAX profiler trace around a block; view with xprof/tensorboard.
+
+    Relay caveat: when the device is reached through a tunneled backend
+    (this image's `axon` relay), device-side trace collection is not
+    plumbed — the trace contains host/runtime events only (dispatch, jit
+    boundaries, transfers). On a directly-attached TPU the same flag yields
+    full device traces.
+    """
     if not enabled:
         yield
         return
@@ -84,6 +91,46 @@ def profile(log_dir: str, enabled: bool = True):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+class StepProfiler:
+    """Trace a window of training steps: [start_step, start_step + num_steps).
+
+    Used by the Solver's ``--profile DIR`` plumbing: step 0 (the compile +
+    warmup step) is excluded by default so the trace shows steady-state
+    steps, not one giant XLA build. Call ``step(i)`` with the 0-based step
+    index before dispatching step ``i``; ``close()`` is safe to call
+    unconditionally (stops an open trace, e.g. on early epoch end).
+    See ``profile()`` for the relay host-only-trace caveat.
+    """
+
+    def __init__(self, log_dir: str, start_step: int = 1,
+                 num_steps: int = 10, enabled: bool = True):
+        self.log_dir = log_dir
+        self.start_step = start_step
+        self.end_step = start_step + num_steps
+        self.enabled = enabled and bool(log_dir)
+        self._active = False
+
+    def step(self, i: int) -> None:
+        if not self.enabled:
+            return
+        if not self._active and self.start_step <= i < self.end_step:
+            import jax
+
+            os.makedirs(self.log_dir, exist_ok=True)
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        elif self._active and i >= self.end_step:
+            self.close()
+            self.enabled = False  # one window per epoch/run
+
+    def close(self) -> None:
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False
 
 
 class StepTimer:

@@ -65,6 +65,37 @@ def plot_history(history_path: str, out_path: Optional[str] = None,
     return out_path
 
 
+def follow(history_path: str, out_path: Optional[str] = None,
+           per_iter: bool = False, interval: float = 5.0,
+           max_iterations: Optional[int] = None) -> str:
+    """Watch-while-training: re-render the PNG whenever ``history.jsonl``
+    grows (the serverless stand-in for the reference's live visdom window,
+    ``src/solver.py:148-166``). Polls mtime+size every ``interval`` seconds;
+    Ctrl-C to stop. ``max_iterations`` bounds the loop for tests."""
+    import time
+
+    last_sig = None
+    n = 0
+    out = out_path
+    while max_iterations is None or n < max_iterations:
+        try:
+            st = os.stat(history_path)
+            sig = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            sig = None
+        if sig is not None and sig != last_sig:
+            out = plot_history(history_path, out_path, per_iter)
+            last_sig = sig
+            print(f"rendered {out}", flush=True)
+        n += 1
+        if max_iterations is None or n < max_iterations:
+            try:
+                time.sleep(interval)
+            except KeyboardInterrupt:
+                break
+    return out or ""
+
+
 def main(argv=None) -> int:
     import argparse
 
@@ -72,7 +103,18 @@ def main(argv=None) -> int:
     p.add_argument("history", help="path to history.jsonl")
     p.add_argument("--out", default=None)
     p.add_argument("--per-iter", action="store_true")
+    p.add_argument("--follow", action="store_true",
+                   help="keep watching the history file and re-render the "
+                        "PNG on change (live training monitor; Ctrl-C stops)")
+    p.add_argument("--interval", type=float, default=5.0,
+                   help="--follow poll interval in seconds")
     a = p.parse_args(argv)
+    if a.follow:
+        try:
+            follow(a.history, a.out, a.per_iter, a.interval)
+        except KeyboardInterrupt:
+            pass
+        return 0
     print(plot_history(a.history, a.out, a.per_iter))
     return 0
 

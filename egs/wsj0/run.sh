@@ -2,11 +2,14 @@
 # wsj0-2mix recipe — ops-level entry mirroring the reference 5-stage pipeline
 # (reference: egs/wsj0/run.sh:78-176), driving the typed-config CLI.
 #
-# Stage 0 (corpus): the original wsj0-2mix wavs come from the WSJ0 corpus via
-#   sph2pipe + the MERL mixing scripts; given a pair list this framework can
-#   generate the mixtures itself:
-#     python -m convtasnet_tpu.cli prepare --pair-list mix_2_spk_tr.txt \
-#         --out-dir $data/tr --source-root $wsj0_wav
+# Stage 0 (corpus): one command replaces sph2pipe + the MERL MATLAB scripts —
+#   pass --wsj0-root (raw sphere disc tree) and --lists-dir (the MERL
+#   mix_2_spk_{tr,cv,tt}.txt files) and it decodes every .wv1/.wv2 natively
+#   and emits the wav{8,16}k/{min,max}/{tr,cv,tt} trees:
+#     python -m convtasnet_tpu.cli prepare --wsj0-root $WSJ0_DISCS \
+#         --lists-dir $MERL_LISTS --out-dir data/2speakers
+#   (For custom corpora, --pair-list generates mixtures from any pairing
+#   list: prepare --pair-list pairs.txt --out-dir $data/tr --source-root ...)
 # Stages 1-4: manifests -> train -> evaluate -> separate.
 
 set -euo pipefail
@@ -24,10 +27,16 @@ cal_sdr=0
 # e.g. --cmd 'sbatch --wait -o {log} {script}'  or
 #      --cmd 'qsub -sync y -j y -o {log} {script}'
 cmd=local
+wsj0_root=            # raw WSJ0 sphere disc tree (enables stage 0)
+lists_dir=            # MERL mix_2_spk_{tr,cv,tt}.txt directory
+corpus_out=data/2speakers
 extra_args=()
 
 while [[ $# -gt 0 ]]; do
   case "$1" in
+    --wsj0-root) wsj0_root=$2; shift 2 ;;
+    --lists-dir) lists_dir=$2; shift 2 ;;
+    --corpus-out) corpus_out=$2; shift 2 ;;
     --stage) stage=$2; shift 2 ;;
     --stop-stage) stop_stage=$2; shift 2 ;;
     --data) data=$2; shift 2 ;;
@@ -40,6 +49,14 @@ while [[ $# -gt 0 ]]; do
     *) extra_args+=("$1"); shift ;;
   esac
 done
+
+# Stage 0: corpus generation from the raw sphere tree (no sph2pipe/MATLAB).
+if [[ $stage -le 0 && -n "$wsj0_root" ]]; then
+  python -m convtasnet_tpu.cli prepare \
+    --wsj0-root "$wsj0_root" --lists-dir "$lists_dir" \
+    --out-dir "$corpus_out"
+fi
+[[ $stage -lt 1 ]] && stage=1
 
 recipe_stage() {  # recipe_stage <from> <to>
   python -m convtasnet_tpu.cli recipe \

@@ -86,6 +86,32 @@ def test_plot_history(tmp_path):
     assert os.path.getsize(out) > 1000
 
 
+def test_plot_follow_rerenders_on_change(tmp_path):
+    """--follow: the PNG is re-rendered when history.jsonl grows and left
+    alone when it doesn't (the serverless live-monitor, visdom equivalent)."""
+    import json
+    from convtasnet_tpu.utils.plot import follow
+
+    hist = tmp_path / "history.jsonl"
+    rec = {"kind": "epoch", "epoch": 0, "split": "train",
+           "loss": 3.0, "seconds": 1.0}
+    with open(hist, "w") as f:
+        f.write(json.dumps(rec) + "\n")
+    out = follow(str(hist), out_path=str(tmp_path / "live.png"),
+                 interval=0.01, max_iterations=1)
+    assert os.path.exists(out)
+    first = os.path.getsize(out)
+
+    with open(hist, "a") as f:
+        for e in range(1, 6):
+            f.write(json.dumps({**rec, "epoch": e, "loss": 3.0 - e / 2})
+                    + "\n")
+    out2 = follow(str(hist), out_path=str(tmp_path / "live.png"),
+                  interval=0.01, max_iterations=1)
+    assert out2 == out
+    assert os.path.getsize(out) > 0 and os.path.getsize(out) != first
+
+
 def test_16khz_config(tmp_path):
     """16 kHz pipeline (WSJ-MIX-Hindi-style): manifests + a train batch +
     model forward at sr=16000."""

@@ -195,3 +195,16 @@ def test_empty_loaders_fail_fast(tmp_path):
         Solver(cfg, FakeLoader(), Empty())
     with pytest.raises(ValueError, match="training loader is empty"):
         Solver(cfg, Empty(), FakeLoader())
+
+
+def test_profile_dir_gets_trace(tmp_path):
+    """--profile plumbing: training one epoch with profile_dir set writes a
+    JAX profiler trace directory (SURVEY §5 tracing subsystem)."""
+    prof = tmp_path / "trace"
+    s = _solver(tmp_path, epochs=1, cv_script=[1.0],
+                profile_dir=str(prof), profile_steps=1)
+    s.train()
+    # jax.profiler.start_trace/stop_trace writes plugins/profile/<ts>/...
+    assert prof.exists()
+    found = list(prof.rglob("*.xplane.pb")) + list(prof.rglob("*.trace.json.gz"))
+    assert found, list(prof.rglob("*"))

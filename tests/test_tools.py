@@ -251,3 +251,102 @@ def test_create_mixtures_multi_variants(tmp_path):
     s1max, _ = read_wav(os.path.join(out, "wav8k", "max", "s1",
                                      names[0] + ".wav"))
     assert np.allclose(s1max[-(26000 - 20000) // 2:], 0.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# One-command WSJ0 stage 0 (tools/wsj0.py)
+# ---------------------------------------------------------------------------
+
+def _write_sphere(path, x_int16, sr=8000):
+    """Shorten-compressed NIST SPHERE file (the WSJ0 .wv1 format)."""
+    from convtasnet_tpu.data import shorten as sh
+
+    payload = sh.encode(x_int16, ftype=sh.TYPE_S16HL)
+    header = (
+        "NIST_1A\n   1024\n"
+        f"sample_count -i {len(x_int16)}\n"
+        f"sample_rate -i {sr}\n"
+        "channel_count -i 1\n"
+        "sample_n_bytes -i 2\n"
+        "sample_byte_format -s2 10\n"
+        "sample_coding -s24 pcm,embedded-shorten-v2\n"
+        "end_head\n"
+    ).encode()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(header + b" " * (1024 - len(header)))
+        f.write(payload)
+
+
+def _fake_wsj0_disc(root, sr=8000):
+    """Two-speaker sphere tree in the disc layout data_prepare.sh walks."""
+    rng = np.random.default_rng(3)
+    utts = {}
+    for set_, spk, utt in [
+        ("si_tr_s", "011", "011c0201"), ("si_tr_s", "012", "012c0202"),
+        ("si_dt_05", "013", "013c0203"), ("si_dt_05", "014", "014c0204"),
+    ]:
+        t = np.arange(2 * sr) / sr
+        f0 = rng.uniform(200, 900)
+        x = (6000 * np.sin(2 * np.pi * f0 * t)
+             + rng.normal(0, 150, t.size)).astype(np.int16)
+        _write_sphere(os.path.join(root, "disc1", "wsj0", set_, spk,
+                                   utt + ".wv1"), x, sr)
+        utts[(set_, spk)] = f"wsj0/{set_}/{spk}/{utt}.wv1"
+    return utts
+
+
+def test_prepare_wsj0_stage0_end_to_end(tmp_path):
+    """Raw sphere disc tree + MERL-style lists -> decoded wav tree + full
+    mixture trees, no sph2pipe/MATLAB (data_prepare.sh:13-37 +
+    create_wav_2speakers.m:33-188 in one call)."""
+    from convtasnet_tpu.tools.wsj0 import prepare_wsj0
+
+    root = str(tmp_path / "discs")
+    utts = _fake_wsj0_disc(root)
+    lists = tmp_path / "lists"
+    lists.mkdir()
+    (lists / "mix_2_spk_tr.txt").write_text(
+        f"{utts[('si_tr_s', '011')]} 1.5 {utts[('si_tr_s', '012')]} -1.5\n")
+    (lists / "mix_2_spk_cv.txt").write_text(
+        f"{utts[('si_dt_05', '013')]} 0.7 {utts[('si_dt_05', '014')]} -0.7\n")
+
+    out = str(tmp_path / "data")
+    summary = prepare_wsj0(root, str(lists), out, sample_rates=(8000,),
+                           modes=("min", "max"), splits=("tr", "cv"),
+                           verbose=False)
+    assert summary == {"tr": 1, "cv": 1}
+    # decoded wav tree preserves <set>/<spk>/<utt>
+    assert os.path.exists(os.path.join(
+        out, "wsj0-wav", "si_tr_s", "011", "011c0201.wav"))
+    # MATLAB-layout mixture trees with scaling files
+    for mode in ("min", "max"):
+        for split, part in [("tr", "mix"), ("tr", "s1"), ("cv", "s2")]:
+            d = os.path.join(out, "wav8k", mode, split, part)
+            assert len(os.listdir(d)) == 1, d
+        assert os.path.exists(os.path.join(out, "wav8k", mode, "tr",
+                                           "scaling.npz"))
+    # mixture is the sum of its sources (exact by construction)
+    d = os.path.join(out, "wav8k", "min", "tr")
+    name = os.listdir(os.path.join(d, "mix"))[0]
+    mix, _ = read_wav(os.path.join(d, "mix", name))
+    s1, _ = read_wav(os.path.join(d, "s1", name))
+    s2, _ = read_wav(os.path.join(d, "s2", name))
+    np.testing.assert_allclose(mix, s1 + s2, atol=2e-4)
+    assert 0.85 < np.max(np.abs(mix)) <= 0.91  # 0.9-peak rescale
+
+
+def test_prepare_wsj0_missing_source_fails_clearly(tmp_path):
+    from convtasnet_tpu.tools.wsj0 import prepare_wsj0
+
+    root = str(tmp_path / "discs")
+    _fake_wsj0_disc(root)
+    lists = tmp_path / "lists"
+    lists.mkdir()
+    (lists / "mix_2_spk_tr.txt").write_text(
+        "wsj0/si_tr_s/999/nonexistent.wv1 1.0 "
+        "wsj0/si_tr_s/011/011c0201.wv1 -1.0\n")
+    with pytest.raises(FileNotFoundError, match="not found"):
+        prepare_wsj0(root, str(lists), str(tmp_path / "o"),
+                     sample_rates=(8000,), modes=("min",), splits=("tr",),
+                     verbose=False)
