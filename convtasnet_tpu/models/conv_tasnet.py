@@ -210,7 +210,7 @@ class TemporalBlock(nn.Module):
             # engages the fused pair even when XLA won the *inference*
             # forward-only race for this dilation.
             if bwd_variant is not None:
-                store_h2, h_dtype = variant_params(fwd_variant)
+                store_h2, h_dtype, _ = variant_params(fwd_variant)
                 return fused_tcn_block_ad(
                     x, w_in, w_dw, w_out, a1, a2,
                     norm1.gamma, norm1.beta, norm2.gamma, norm2.beta,
@@ -239,13 +239,15 @@ class TemporalBlock(nn.Module):
                 if cfg.norm_type == "BN":
                     bn_stats = (norm1.ra_mean.value, norm1.ra_var.value,
                                 norm2.ra_mean.value, norm2.ra_var.value)
-                store_h2, h_dtype = variant_params(variant)
+                store_h2, h_dtype, tile = variant_params(variant)
+                kw = {"tile": tile} if tile else {}
                 return fused_tcn_block(
                     x, w_in, w_dw, w_out, a1, a2,
                     norm1.gamma, norm1.beta, norm2.gamma, norm2.beta,
                     dilation=self.dilation, causal=cfg.causal,
                     norm_type=cfg.norm_type, bn_stats=bn_stats,
-                    store_h2=store_h2, h_dtype=h_dtype, interpret=interpret)
+                    store_h2=store_h2, h_dtype=h_dtype, interpret=interpret,
+                    **kw)
 
         blk = {"conv1x1": w_in, "prelu1": a1, "dwconv": w_dw,
                "prelu2": a2, "pwconv": w_out}

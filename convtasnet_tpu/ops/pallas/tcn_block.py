@@ -458,7 +458,7 @@ def _fused_block_bwd(static, residuals, g):
         from convtasnet_tpu.ops.pallas.tcn_block_bwd import fused_tcn_block_bwd
 
         dilation, causal, norm_type, tile, interpret = static[:5]
-        store_e, s_dtype = variant_params(bwd)
+        store_e, s_dtype, _ = variant_params(bwd)
         x, w_in, dw, w_out, a1, a2, g1, b1, g2, b2, m1, v1, m2, v2 = residuals
         grads = fused_tcn_block_bwd(
             x, g, w_in, dw, w_out, a1, a2, g1, b1, g2, b2,
@@ -525,12 +525,19 @@ _FUSED_READY: dict = {}
 
 
 def variant_params(variant):
-    """Decode a probe-registry variant name to ``(store_h2, h_dtype)``
-    kwargs for ``fused_tcn_block(_ad)``. ``None``/"auto" -> auto."""
+    """Decode a probe-registry variant name to ``(store_h2, h_dtype, tile)``
+    kwargs for ``fused_tcn_block(_ad)``. Names are
+    ``{store,recompute}[_f32][@<tile>]``; a missing ``@tile`` (or
+    ``None``/"auto") means the caller's default. The tile dimension is
+    raced by the forward probe (800 vs the 1600 default — tile=800 wins
+    ~12% at B=8, 1600 at B=32; scripts/bench_scaling.py section D)."""
     if variant in (None, "auto"):
-        return None, None
-    base, _, suffix = variant.partition("_")
-    return base == "store", (jnp.float32 if suffix == "f32" else None)
+        return None, None, None
+    name, _, t = variant.partition("@")
+    base, _, suffix = name.partition("_")
+    return (base == "store",
+            (jnp.float32 if suffix == "f32" else None),
+            (int(t) if t else None))
 
 
 def fused_block_ready(dilation: int, norm_type: str, causal: bool,
@@ -735,13 +742,22 @@ def probe_fused_block(
         return lambda xx: _xla_block(static, xx, w_in, dw, w_out, a, a,
                                      g1, gb, g1, gb, gb, g1, gb, g1)
 
-    variants = [("store", True, None), ("recompute", False, None)]
+    base_variants = [("store", True, None), ("recompute", False, None)]
     if norm_type != "gLN":
-        variants = [("store", True, None)]  # store_h2 is gLN-only
+        base_variants = [("store", True, None)]  # store_h2 is gLN-only
     if jnp.dtype(dtype) == jnp.bfloat16:
         # f32-scratch twins: drop the bf16<->f32 converts on scratch traffic
         # at 2x the VMEM footprint/bandwidth; the race decides per dilation.
-        variants += [(n + "_f32", s, jnp.float32) for n, s, _ in variants]
+        base_variants += [(n + "_f32", s, jnp.float32)
+                          for n, s, _ in base_variants]
+    # tile twins: the K-tile size shifts the VPU/MXU interleave and DMA
+    # granularity; 800 beats the 1600 default by ~12% at B=8 and loses at
+    # B=32 (scripts/bench_scaling.py) — per-shape racing settles it.
+    tile_cands = [tile]
+    if not interpret and 800 != tile and K >= 800:
+        tile_cands.append(800)
+    variants = [(n + (f"@{t}" if t != tile else ""), s, h, t)
+                for (n, s, h) in base_variants for t in tile_cands]
 
     for d in sorted(set(int(d) for d in dilations)):
         to_try = variants
@@ -750,13 +766,17 @@ def probe_fused_block(
             if winner is None:
                 results[d] = None
                 continue
-            to_try = [(n, s, h) for n, s, h in variants if n == winner]
+            to_try = [(n, s, h, t) for n, s, h, t in variants if n == winner]
+            if not to_try:
+                # winner raced under a different tile set (e.g. older cache)
+                ws, wh, wt = variant_params(winner)
+                to_try = [(winner, ws, wh, wt or tile)]
         compiled = {}
         aot = {}
-        for name, store, h_dt in to_try:
+        for name, store, h_dt, tl in to_try:
             fn = functools.partial(
                 fused_tcn_block, dilation=d, causal=causal,
-                norm_type=norm_type, bn_stats=bn, tile=tile,
+                norm_type=norm_type, bn_stats=bn, tile=tl,
                 interpret=interpret, store_h2=store, h_dtype=h_dt)
             err = None
             for _ in range(retries + 1):
@@ -934,7 +954,9 @@ def probe_fused_block_train(
         static = (d, causal, norm_type, tile, interpret)
         xla10 = lambda *args: _xla_block(static, *args, gb, g1, gb, g1)  # noqa: E731
         fwd_variant = _FUSED_READY.get((d, norm_type, causal))
-        store_h2, h_dt = variant_params(fwd_variant)
+        # the train pair always runs at the default tile — only the scratch
+        # strategy and dtype carry over from the forward winner
+        store_h2, h_dt, _ = variant_params(fwd_variant)
         to_try = bwd_variants
         if verify_only:
             winner = _FUSED_BWD_READY.get((d, norm_type, causal))

@@ -106,12 +106,14 @@ def test_fused_block_f32_scratch(norm_type, store_h2):
 def test_variant_params_decode():
     from convtasnet_tpu.ops.pallas.tcn_block import variant_params
 
-    assert variant_params(None) == (None, None)
-    assert variant_params("auto") == (None, None)
-    assert variant_params("store") == (True, None)
-    assert variant_params("recompute") == (False, None)
-    assert variant_params("store_f32") == (True, jnp.float32)
-    assert variant_params("recompute_f32") == (False, jnp.float32)
+    assert variant_params(None) == (None, None, None)
+    assert variant_params("auto") == (None, None, None)
+    assert variant_params("store") == (True, None, None)
+    assert variant_params("recompute") == (False, None, None)
+    assert variant_params("store_f32") == (True, jnp.float32, None)
+    assert variant_params("recompute_f32") == (False, jnp.float32, None)
+    assert variant_params("store@800") == (True, None, 800)
+    assert variant_params("recompute_f32@800") == (False, jnp.float32, 800)
 
 
 def test_fused_block_pads_k():
