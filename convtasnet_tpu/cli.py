@@ -264,7 +264,8 @@ def cmd_evaluate(a) -> int:
     res = evaluate(a.model_path, a.data_dir, batch_size=a.batch_size,
                    sample_rate=a.sample_rate, cal_sdr=bool(a.cal_sdr),
                    max_batches=getattr(a, "max_batches", None),
-                   use_pallas=None if up < 0 else bool(up))
+                   use_pallas=None if up < 0 else bool(up),
+                   batch_chunk=getattr(a, "batch_chunk", 8))
     print(json.dumps(res))
     return 0
 
@@ -279,7 +280,8 @@ def cmd_separate(a) -> int:
                  streaming=bool(getattr(a, "streaming", 0)),
                  chunk_seconds=getattr(a, "chunk_seconds", 0.5),
                  sequence_parallel=bool(getattr(a, "sequence_parallel", 0)),
-                 use_pallas=None if up < 0 else bool(up))
+                 use_pallas=None if up < 0 else bool(up),
+                 batch_chunk=getattr(a, "batch_chunk", 8))
     print(f"separated {n} utterances into {a.out_dir}")
     return 0
 
@@ -427,6 +429,9 @@ def main(argv=None) -> int:
     p.add_argument("--use-pallas", type=int, default=-1, choices=[-1, 0, 1],
                    help="fused TCN kernels: -1 auto (on for real "
                         "accelerators), 0 off, 1 on")
+    p.add_argument("--batch-chunk", type=int, default=8,
+                   help="rows per lax.map slice of the forward (0 = whole "
+                        "batch); keeps activations VMEM-resident")
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("separate", help="write separated wavs (stage 4)")
@@ -444,6 +449,9 @@ def main(argv=None) -> int:
     p.add_argument("--use-pallas", type=int, default=-1, choices=[-1, 0, 1],
                    help="fused TCN kernels: -1 auto (on for real "
                         "accelerators), 0 off, 1 on")
+    p.add_argument("--batch-chunk", type=int, default=8,
+                   help="rows per lax.map slice of the forward (0 = whole "
+                        "batch); keeps activations VMEM-resident")
     p.set_defaults(fn=cmd_separate)
 
     p = sub.add_parser("stream-demo",

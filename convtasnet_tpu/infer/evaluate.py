@@ -75,8 +75,13 @@ def evaluate(
     pad_to_multiple: int = 8000,
     verbose: bool = True,
     use_pallas: Optional[bool] = None,
+    batch_chunk: int = 8,
 ) -> Dict[str, float]:
     """-> {"si_snri": avg dB, "sdri": avg dB (if cal_sdr)}.
+
+    ``batch_chunk``: forward the batch in this many rows per ``lax.map``
+    slice (0 disables) — VMEM-residency optimization, docs/RESULTS.md
+    "Batch scaling".
 
     ``use_pallas=None`` (default) enables the fused TCN kernels automatically
     on a real accelerator backend: each batch shape is AOT-probed/autotuned
@@ -92,7 +97,10 @@ def evaluate(
 
     @jax.jit
     def run(mixture, sources, lengths):
-        est = model.apply(variables, mixture, train=False)
+        from convtasnet_tpu.models.conv_tasnet import apply_batch_chunked
+
+        est = apply_batch_chunked(model, variables, mixture,
+                                  chunk=batch_chunk, train=False)
         _, best_perm = pit_si_snr(sources, est, lengths)
         est = reorder_source(est, best_perm)
         si_snri, si_est, si_mix = _masked_sisnr_batch(est, sources, mixture, lengths)
@@ -105,7 +113,11 @@ def evaluate(
         if cfg.use_pallas:
             from convtasnet_tpu.ops.pallas.tcn_block import ensure_probed
 
-            ensure_probed(cfg, batch.mixture.shape[0], batch.mixture.shape[1])
+            rows = batch.mixture.shape[0]
+            if batch_chunk > 0 and rows > batch_chunk \
+                    and rows % batch_chunk == 0:
+                rows = batch_chunk  # the per-lax.map-slice shape is probed
+            ensure_probed(cfg, rows, batch.mixture.shape[1])
         est, si_snri = run(
             jnp.asarray(batch.mixture), jnp.asarray(batch.sources),
             jnp.asarray(batch.lengths))

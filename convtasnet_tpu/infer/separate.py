@@ -40,8 +40,14 @@ def separate(
     chunk_seconds: float = 0.5,
     sequence_parallel: bool = False,
     use_pallas: Optional[bool] = None,
+    batch_chunk: int = 8,
 ) -> int:
     """Separate every mixture; returns the number of utterances written.
+
+    ``batch_chunk``: process the batch axis in this many rows per
+    ``lax.map`` slice inside the jit (0 disables) — keeps each slice's
+    inter-block activations VMEM-resident (+22% throughput at B=32;
+    docs/RESULTS.md "Batch scaling").
 
     ``streaming=True`` runs the stateful chunk-by-chunk separator instead of
     the batch forward — requires a causal (cLN/BN) checkpoint; this is the
@@ -68,7 +74,12 @@ def separate(
 
     @jax.jit
     def run(mixture):
-        return model.apply(variables, mixture, train=False)
+        # batch chunking keeps each slice's inter-block activations
+        # VMEM-resident (+22% at B=32; models/conv_tasnet.apply_batch_chunked)
+        from convtasnet_tpu.models.conv_tasnet import apply_batch_chunked
+
+        return apply_batch_chunked(model, variables, mixture,
+                                   chunk=batch_chunk, train=False)
 
     n_written = 0
     for bi in range(len(ds)):
@@ -76,7 +87,11 @@ def separate(
         if cfg.use_pallas:
             from convtasnet_tpu.ops.pallas.tcn_block import ensure_probed
 
-            ensure_probed(cfg, mixture.shape[0], mixture.shape[1])
+            rows = mixture.shape[0]
+            if batch_chunk > 0 and rows > batch_chunk \
+                    and rows % batch_chunk == 0:
+                rows = batch_chunk
+            ensure_probed(cfg, rows, mixture.shape[1])
         est = np.asarray(jax.device_get(run(jnp.asarray(mixture))))
         est_list = remove_pad(est, lengths)
         mix_list = remove_pad(mixture, lengths)

@@ -165,3 +165,32 @@ def test_remat_matches_no_remat():
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_apply_batch_chunked_matches_full():
+    """lax.map batch chunking (the VMEM-residency serving optimization) is
+    numerically identical to the one-call forward, and falls back cleanly
+    when the batch doesn't divide."""
+    import jax
+    import jax.numpy as jnp
+    from convtasnet_tpu.config import ConvTasNetConfig
+    from convtasnet_tpu.models.conv_tasnet import (
+        ConvTasNet, apply_batch_chunked, init_params)
+
+    cfg = ConvTasNetConfig(
+        n_filters=16, kernel_size=8, bottleneck=12, hidden=24, conv_kernel=3,
+        num_blocks=2, num_repeats=1, num_speakers=2)
+    model = ConvTasNet(cfg)
+    variables = init_params(cfg, jax.random.PRNGKey(0), example_len=1600)
+    mix = jax.random.normal(jax.random.PRNGKey(1), (4, 1600))
+    full = model.apply(variables, mix, train=False)
+    chunked = apply_batch_chunked(model, variables, mix, chunk=2, train=False)
+    assert chunked.shape == full.shape
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               rtol=1e-6, atol=1e-6)
+    # non-divisible batch: falls back to the one-call path
+    mix3 = mix[:3]
+    fb = apply_batch_chunked(model, variables, mix3, chunk=2, train=False)
+    np.testing.assert_allclose(
+        np.asarray(fb), np.asarray(model.apply(variables, mix3, train=False)),
+        rtol=1e-6, atol=1e-6)
