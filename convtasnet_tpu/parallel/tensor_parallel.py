@@ -243,3 +243,41 @@ def shard_variables(variables, mesh: Mesh, cfg: ConvTasNetConfig):
         variables, specs,
         is_leaf=lambda v: not isinstance(v, dict),
     )
+
+
+def make_gspmd_forward(
+    cfg: ConvTasNetConfig,
+    variables: Dict[str, Any],
+    mesh: Mesh,
+    data_axis: str = "data",
+):
+    """Jitted inference forward over the full 2-D (data, model) mesh —
+    GSPMD companion to the hand-written ``tp_forward`` shard_map, and the
+    model-parallel inference path for the dual-path family (``tp_forward``
+    is TCN-only).
+
+    ``mixture [M, T]`` is sharded over ``data`` on the batch; parameters
+    carry ``param_partition_specs`` shardings — for DPT that Megatron-splits
+    the attention QKV / FFN-up matmuls (head/channel sharding) and
+    row-splits the output / FFN-down matmuls over ``model``, so each device
+    computes its own slice of heads and GSPMD inserts the per-sublayer
+    partial-sum reduce. Batch size must divide the data-axis size.
+
+    Returns ``(fn, sharded_variables)``; call ``fn(sharded_variables,
+    mixture) -> [M, C, T]``.
+    """
+    from jax.sharding import NamedSharding
+
+    from convtasnet_tpu.models.conv_tasnet import ConvTasNet
+
+    specs = param_partition_specs(cfg, variables)
+    var_sh = jax.tree_util.tree_map(
+        lambda _, s: NamedSharding(mesh, s), variables, specs,
+        is_leaf=lambda v: not isinstance(v, dict))
+    model = ConvTasNet(cfg)
+    fn = jax.jit(
+        lambda v, m: model.apply(v, m, train=False),
+        in_shardings=(var_sh, NamedSharding(mesh, P(data_axis, None))),
+        out_shardings=NamedSharding(mesh, P(data_axis, None, None)),
+    )
+    return fn, shard_variables(variables, mesh, cfg)

@@ -99,13 +99,13 @@ def bench_train_step(use_pallas: bool, batch=24, seconds=4.0, steps=8,
 
 
 def bench_forward(batch, seconds=4.0, inner=10, trials=3, use_pallas=True,
-                  separator="tcn"):
+                  separator="tcn", cfg_overrides=None):
     from convtasnet_tpu.config import ConvTasNetConfig
     from convtasnet_tpu.models.conv_tasnet import ConvTasNet, init_params
 
     T = int(seconds * 8000)
     cfg = ConvTasNetConfig(compute_dtype="bfloat16", use_pallas=use_pallas,
-                           separator=separator)
+                           separator=separator, **(cfg_overrides or {}))
     if use_pallas and jax.default_backend() != "cpu":
         from convtasnet_tpu.ops.pallas.tcn_block import ensure_probed
 

@@ -104,3 +104,48 @@ def test_sharded_train_step_matches_dp():
     # the TP params really are sharded over the model axis
     w_in = s2.params["separator"]["block_r0_x0"]["conv1x1"]
     assert {sh.data.shape for sh in w_in.addressable_shards} == {(12, 8)}
+
+
+def test_gspmd_forward_tcn_matches_unsharded():
+    """make_gspmd_forward: GSPMD inference over the 2-D mesh matches the
+    unsharded forward for the TCN family."""
+    from convtasnet_tpu.parallel.tensor_parallel import make_gspmd_forward
+
+    cfg = ConvTasNetConfig(**TINY)
+    T = 1200
+    variables = init_params(cfg, jax.random.PRNGKey(0), example_len=T)
+    mix = jax.random.normal(jax.random.PRNGKey(3), (4, T))
+    want = np.asarray(ConvTasNet(cfg).apply(variables, mix, train=False))
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    fn, placed = make_gspmd_forward(cfg, variables, mesh)
+    got = np.asarray(fn(placed, mix))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_gspmd_forward_dpt_head_sharded():
+    """The dual-path family's model-parallel inference path: attention QKV
+    and FFN-up column shards really live over the model axis, and the
+    sharded forward matches the unsharded model."""
+    from convtasnet_tpu.parallel.tensor_parallel import make_gspmd_forward
+
+    cfg = ConvTasNetConfig(
+        n_filters=16, kernel_size=8, bottleneck=16, hidden=24,
+        num_blocks=2, num_repeats=1, num_speakers=2,
+        separator="dpt", dpt_chunk=16, dpt_layers=2, dpt_heads=4, dpt_ff=32)
+    T = 1000
+    variables = init_params(cfg, jax.random.PRNGKey(0), example_len=T)
+    mix = jax.random.normal(jax.random.PRNGKey(4), (4, T))
+    want = np.asarray(ConvTasNet(cfg).apply(variables, mix, train=False))
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    fn, placed = make_gspmd_forward(cfg, variables, mesh)
+    qkv = placed["params"]["separator"]["layer_0"]["intra_att"]["qkv"]["kernel"]
+    # column-sharded over 4 model shards: [B, 3B/4]
+    assert {s.data.shape for s in qkv.addressable_shards} == {(16, 12)}
+    up = placed["params"]["separator"]["layer_0"]["inter_ffn"]["up"]["kernel"]
+    assert {s.data.shape for s in up.addressable_shards} == {(16, 8)}
+    got = np.asarray(fn(placed, mix))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
