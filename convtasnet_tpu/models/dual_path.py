@@ -33,9 +33,13 @@ Layout notes:
   (chunk-index) paths — attention is otherwise permutation-equivariant.
 
 Parallelism: data-parallel training works unchanged (batch-axis
-sharding); the attention einsums are GSPMD-shardable on heads. The fused
-Pallas TCN kernels simply do not engage for this family (its hot ops are
-plain MXU matmuls XLA already fuses well).
+sharding); the attention QKV/FFN matmuls Megatron-split over ``model``
+for GSPMD training and inference (``parallel/tensor_parallel``:
+``make_sharded_train_step`` / ``make_gspmd_forward``); long mixtures run
+sequence-parallel with the chunk axis sharded and inter-chunk keys/values
+gathered (``parallel/sharded_ops._dpt_shard_forward``). The fused Pallas
+TCN kernels simply do not engage for this family (its hot ops are plain
+MXU matmuls XLA already fuses well).
 """
 
 from __future__ import annotations
@@ -65,14 +69,17 @@ def sinusoid_encoding(length: int, dim: int) -> np.ndarray:
 def masked_mha(q, k, v, key_valid, n_heads: int):
     """Multi-head attention with invalid keys masked out of the softmax.
 
-    q/k/v: [..., T, D] (already projected); key_valid: [..., T] bool or
-    None. Softmax in f32. Returns [..., T, D] in q.dtype.
+    q: [..., Tq, D], k/v: [..., Tk, D] (already projected; Tq == Tk for the
+    in-model paths, Tq < Tk for the sequence-parallel inter path where keys
+    are gathered across shards); key_valid: [..., Tk] bool or None. Softmax
+    in f32. Returns [..., Tq, D] in q.dtype.
     """
     *lead, T, D = q.shape
+    Tk = k.shape[-2]
     Dh = D // n_heads
     qh = q.reshape(*lead, T, n_heads, Dh)
-    kh = k.reshape(*lead, T, n_heads, Dh)
-    vh = v.reshape(*lead, T, n_heads, Dh)
+    kh = k.reshape(*lead, Tk, n_heads, Dh)
+    vh = v.reshape(*lead, Tk, n_heads, Dh)
     # [..., heads, Tq, Tk]
     logits = jnp.einsum("...qhd,...khd->...hqk", qh, kh).astype(jnp.float32)
     logits = logits / np.sqrt(Dh)

@@ -88,3 +88,53 @@ def test_separate_sequence_parallel_cli(tmp_path):
     assert n == 1
     y, sr = read_wav(os.path.join(out, "long_s2.wav"))
     assert y.shape[0] == 20000
+
+
+DPT = dict(n_filters=16, kernel_size=8, bottleneck=16, hidden=24,
+           num_blocks=2, num_repeats=1, num_speakers=2, separator="dpt",
+           dpt_chunk=16, dpt_layers=2, dpt_heads=4, dpt_ff=32)
+
+
+def _dpt_reference(cfg, variables, mixture, Tp):
+    """Unsharded forward on the input padded to exactly Tp: the sharded
+    path masks frames >= the unsharded model's frame count on THIS length,
+    so the reference must use the same padded length (unlike the TCN
+    helper's +hop, which would add one more valid attention key)."""
+    x = jnp.pad(mixture, (0, Tp - mixture.shape[-1]))[None]
+    out = ConvTasNet(cfg).apply(variables, x, train=False)
+    return np.asarray(out[0])
+
+
+def test_dpt_sharded_matches_unsharded():
+    """Sequence-parallel dual-path: chunk axis sharded over 8 devices,
+    inter-chunk attention over gathered keys/values matches the global
+    attention of the unsharded model."""
+    cfg = ConvTasNetConfig(**DPT)
+    T = 5000
+    variables = init_params(cfg, jax.random.PRNGKey(0), example_len=T)
+    mixture = jax.random.normal(jax.random.PRNGKey(4), (T,))
+    mesh = make_mesh(n_data=8)
+    got = np.asarray(separate_sharded(cfg, variables, mixture, mesh))
+    assert got.shape == (2, T)
+    hop = cfg.stride
+    quantum = 8 * hop * cfg.dpt_chunk
+    L = cfg.kernel_size
+    Tp = -(-(T + L) // quantum) * quantum
+    want = _dpt_reference(cfg, variables, mixture, Tp)[:, :T]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_dpt_sharded_softmax_three_speakers():
+    cfg = ConvTasNetConfig(**{**DPT, "num_speakers": 3},
+                           mask_nonlinear="softmax")
+    T = 4096
+    variables = init_params(cfg, jax.random.PRNGKey(0), example_len=T)
+    mixture = jax.random.normal(jax.random.PRNGKey(5), (T,))
+    mesh = make_mesh(n_data=8)
+    got = np.asarray(separate_sharded(cfg, variables, mixture, mesh))
+    assert got.shape == (3, T)
+    hop = cfg.stride
+    quantum = 8 * hop * cfg.dpt_chunk
+    Tp = -(-(T + cfg.kernel_size) // quantum) * quantum
+    want = _dpt_reference(cfg, variables, mixture, Tp)[:, :T]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
