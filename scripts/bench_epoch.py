@@ -111,7 +111,7 @@ def main() -> None:
         make_multi_train_step,
         make_train_step,
     )
-    from convtasnet_tpu.utils.timing import median_fetch_seconds, rtt_baseline
+    from convtasnet_tpu.utils.timing import rtt_baseline
 
     cfg = ConvTasNetConfig(
         compute_dtype="bfloat16",
@@ -147,17 +147,21 @@ def main() -> None:
     jax.device_get(m["loss"])
     print(f"compile+first dispatch: {time.time() - t0:.1f} s", flush=True)
 
-    # steady-state pure-device step time (cached batch, chained dispatches)
+    # steady-state pure-device step time (cached batch). The train step
+    # DONATES the state, so each timed call must carry the returned state —
+    # re-passing the old one would fetch deleted buffers.
     rtt = rtt_baseline(first[0], trials=3)
-
-    def one_call(s):
+    times = []
+    for _ in range(3):
+        t0 = time.time()
         if multi_step is not None:
-            s2, mm = multi_step(s, g0)
+            state, mm = multi_step(state, g0)
         else:
-            s2, mm = train_step(s, first)
-        return mm["loss"]
-
-    t_call = max(median_fetch_seconds(one_call, state, trials=3) - rtt, 1e-9)
+            state, mm = train_step(state, first)
+        jax.device_get(mm["loss"])
+        times.append(time.time() - t0)
+    times.sort()
+    t_call = max(times[len(times) // 2] - rtt, 1e-9)
     step_s = t_call / a.steps_per_call
     print(f"steady-state step: {step_s * 1e3:.1f} ms "
           f"({t_call * 1e3:.1f} ms per {a.steps_per_call}-step call)",
