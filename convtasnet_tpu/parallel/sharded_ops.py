@@ -220,6 +220,58 @@ def _dpt_att_inter(prm, xt, key_valid_g, n_heads, axis_name):
     return xt + a @ prm["out"]["kernel"].astype(xt.dtype)
 
 
+def _dpt_att_inter_ring(prm, xt, key_valid_g, n_heads, axis_name):
+    """Ring-attention inter path: same math as ``_dpt_att_inter`` but the
+    key/value blocks ROTATE around the mesh with ``ppermute`` while each
+    shard folds one block per step into an online-softmax accumulator
+    (running max / denominator, flash-attention style). Peak memory is
+    O(n_local) per device — independent of the global chunk count — vs the
+    gathered path's O(n_global); bandwidth is the same total bytes but
+    nearest-neighbor, and each step's matmul overlaps the next ppermute.
+    Numerically equivalent to the gathered path up to fp reordering.
+    """
+    import numpy as np
+
+    y = _dpt_ln(prm["norm"], xt)
+    qkv = y @ prm["qkv"]["kernel"].astype(xt.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    S, n_local, B = q.shape
+    Dh = B // n_heads
+    num = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    qh = q.reshape(S, n_local, n_heads, Dh).astype(jnp.float32)
+    qh = qh / np.sqrt(Dh)
+
+    perm = [(i, (i - 1) % num) for i in range(num)]
+    m_i = jnp.full((S, n_heads, n_local), -jnp.inf, jnp.float32)
+    l_i = jnp.zeros((S, n_heads, n_local), jnp.float32)
+    acc = jnp.zeros((S, n_heads, n_local, Dh), jnp.float32)
+    kb, vb = k, v
+    for t in range(num):
+        owner = (idx + t) % num  # whose block this shard holds now
+        block_valid = jax.lax.dynamic_slice_in_dim(
+            key_valid_g, owner * n_local, n_local, axis=1)  # [S, n_local]
+        kh = kb.reshape(S, n_local, n_heads, Dh).astype(jnp.float32)
+        vh = vb.reshape(S, n_local, n_heads, Dh).astype(jnp.float32)
+        logits = jnp.einsum("sqhd,skhd->shqk", qh, kh)
+        logits = jnp.where(block_valid[:, None, None, :], logits, -jnp.inf)
+        m_new = jnp.maximum(m_i, jnp.max(logits, axis=-1))
+        # exp(-inf - -inf) would be NaN on all-invalid rows; clamp the shift
+        shift = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        p = jnp.exp(logits - shift[..., None])
+        scale = jnp.exp(jnp.where(jnp.isfinite(m_i), m_i - shift, -jnp.inf))
+        scale = jnp.where(jnp.isfinite(m_i), scale, 0.0)
+        acc = acc * scale[..., None] + jnp.einsum("shqk,skhd->shqd", p, vh)
+        l_i = l_i * scale + jnp.sum(p, axis=-1)
+        m_i = m_new
+        if t + 1 < num:
+            kb = jax.lax.ppermute(kb, axis_name, perm)
+            vb = jax.lax.ppermute(vb, axis_name, perm)
+    out = acc / jnp.where(l_i == 0.0, 1.0, l_i)[..., None]
+    a = jnp.moveaxis(out, 1, 2).reshape(S, n_local, B).astype(xt.dtype)
+    return xt + a @ prm["out"]["kernel"].astype(xt.dtype)
+
+
 def _dpt_ffn(prm, x):
     """Pre-LN GELU MLP + residual (shard-local)."""
     y = _dpt_ln(prm["norm"], x)
@@ -232,7 +284,8 @@ def _dpt_ffn(prm, x):
 
 
 def _dpt_shard_forward(cfg: ConvTasNetConfig, variables, samples,
-                       K_valid: int, axis_name: str):
+                       K_valid: int, axis_name: str,
+                       ring_attention: bool = False):
     """Per-shard dual-path forward. samples: [T_s]; this shard owns
     ``K_s = T_s/hop`` frames = ``n_local = K_s/S`` whole chunks (the caller
     pads so chunks never straddle shards).
@@ -275,12 +328,13 @@ def _dpt_shard_forward(cfg: ConvTasNetConfig, variables, samples,
         + inter_local[:, None].astype(x.dtype)
 
     chunk_valid_g = valid_g.T  # [S, n_g]
+    inter = _dpt_att_inter_ring if ring_attention else _dpt_att_inter
     for i in range(cfg.dpt_layers):
         lp = sep[f"layer_{i}"]
         x = _dpt_att_local(lp["intra_att"], x, valid_local, H)
         x = _dpt_ffn(lp["intra_ffn"], x)
         xt = jnp.swapaxes(x, 0, 1)  # [S, n_local, B]
-        xt = _dpt_att_inter(lp["inter_att"], xt, chunk_valid_g, H, axis_name)
+        xt = inter(lp["inter_att"], xt, chunk_valid_g, H, axis_name)
         xt = _dpt_ffn(lp["inter_ffn"], xt)
         x = jnp.swapaxes(xt, 0, 1)
 
@@ -297,6 +351,7 @@ def separate_sharded(
     mixture: jax.Array,
     mesh: Mesh,
     axis_name: str = "data",
+    ring_attention: bool = False,
 ) -> jax.Array:
     """Separate one long mixture [T] with the time axis sharded over ``mesh``.
 
@@ -310,6 +365,9 @@ def separate_sharded(
     chunk axis — intra attention is chunk-local, inter attention gathers
     keys/values across shards (``_dpt_att_inter``), so a minutes-long
     mixture's attention memory and compute split evenly over the mesh.
+    ``ring_attention=True`` swaps the gathered inter path for the
+    ppermute/online-softmax ring (``_dpt_att_inter_ring``): peak memory
+    O(chunks/device) instead of O(total chunks), for extreme lengths.
     """
     n = mesh.shape[axis_name]
     hop = cfg.stride
@@ -323,7 +381,8 @@ def separate_sharded(
         Tp = -(-(T + L) // quantum) * quantum
         K_valid = (Tp - L) // hop + 1
         body = functools.partial(_dpt_shard_forward, cfg, variables,
-                                 K_valid=K_valid, axis_name=axis_name)
+                                 K_valid=K_valid, axis_name=axis_name,
+                                 ring_attention=ring_attention)
     elif cfg.separator == "tcn":
         quantum = n * hop
         Tp = ((T + quantum - 1) // quantum) * quantum

@@ -138,3 +138,22 @@ def test_dpt_sharded_softmax_three_speakers():
     Tp = -(-(T + cfg.kernel_size) // quantum) * quantum
     want = _dpt_reference(cfg, variables, mixture, Tp)[:, :T]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_dpt_ring_attention_matches_gathered_and_unsharded():
+    """The ppermute/online-softmax ring inter path equals the gathered-KV
+    path and the unsharded model on valid samples."""
+    cfg = ConvTasNetConfig(**DPT)
+    T = 5000
+    variables = init_params(cfg, jax.random.PRNGKey(0), example_len=T)
+    mixture = jax.random.normal(jax.random.PRNGKey(6), (T,))
+    mesh = make_mesh(n_data=8)
+    ring = np.asarray(separate_sharded(cfg, variables, mixture, mesh,
+                                       ring_attention=True))
+    gathered = np.asarray(separate_sharded(cfg, variables, mixture, mesh))
+    np.testing.assert_allclose(ring, gathered, rtol=1e-4, atol=1e-4)
+    hop = cfg.stride
+    quantum = 8 * hop * cfg.dpt_chunk
+    Tp = -(-(T + cfg.kernel_size) // quantum) * quantum
+    want = _dpt_reference(cfg, variables, mixture, Tp)[:, :T]
+    np.testing.assert_allclose(ring, want, rtol=1e-4, atol=1e-4)
