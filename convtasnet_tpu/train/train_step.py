@@ -108,26 +108,74 @@ def _weighted_loss(model, params, batch_stats, batch, train: bool):
     return loss, new_stats
 
 
+def _loss_and_grads(model, params, batch_stats, batch, batch_chunk: int):
+    """Loss + gradients for one batch, optionally accumulated over
+    ``batch_chunk``-row slices inside a ``lax.scan``.
+
+    Why chunk: XLA's memory-space assignment homes the TCN blocks'
+    inter-block activations in VMEM while a slice's working set fits
+    (docs/RESULTS.md "Batch scaling" — the same effect behind
+    ``apply_batch_chunked`` serving), and the backward doubles the
+    resident set, so a B=24 train step pays exposed HBM traffic an 8-row
+    slice does not. The chunked grads are mathematically identical to the
+    full-batch grads (the weighted-sum loss is additive over rows; the
+    weight normalizer is batch-constant), so this is a pure scheduling
+    choice. Skipped for BN configs (running stats are a full-batch
+    reduction) and when the batch doesn't divide evenly.
+    """
+    B = batch[0].shape[0]
+    if (not batch_chunk or B <= batch_chunk or B % batch_chunk
+            or bool(batch_stats)):
+        def loss_fn(params):
+            return _weighted_loss(model, params, batch_stats, batch, True)
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        return loss, new_stats, grads
+
+    n = B // batch_chunk
+
+    def chunk_loss(p, chunk):
+        mixture, lengths, sources, weights = chunk
+        est = model.apply({"params": p}, mixture, train=True)
+        max_snr, _ = pit_si_snr(sources, est, lengths)
+        return -jnp.sum(max_snr * weights.astype(jnp.float32))
+
+    chunks = jax.tree_util.tree_map(
+        lambda x: x.reshape(n, batch_chunk, *x.shape[1:]), batch)
+
+    def body(carry, chunk):
+        lsum, gsum = carry
+        l, g = jax.value_and_grad(chunk_loss)(params, chunk)
+        return (lsum + l, jax.tree_util.tree_map(jnp.add, gsum, g)), None
+
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    (lsum, gsum), _ = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32), zeros), chunks)
+    wsum = jnp.maximum(jnp.sum(batch[3].astype(jnp.float32)), 1.0)
+    return (lsum / wsum, batch_stats,
+            jax.tree_util.tree_map(lambda g: g / wsum, gsum))
+
+
 def make_train_step(
     model_cfg: ConvTasNetConfig,
     tx: optax.GradientTransformation,
     mesh=None,
     donate: bool = True,
+    batch_chunk: int = 0,
 ):
     """Build the jitted train step ``(state, batch) -> (state, metrics)``.
 
     When ``mesh`` is given the step is compiled with parameter-replicated /
-    batch-sharded shardings over its ``data`` axis.
+    batch-sharded shardings over its ``data`` axis. ``batch_chunk`` > 0
+    accumulates gradients over that many rows at a time inside the step
+    (``_loss_and_grads``) — same numbers, VMEM-friendlier schedule.
     """
     model = ConvTasNet(model_cfg)
 
     def step_fn(state: TrainState, batch):
-        def loss_fn(params):
-            return _weighted_loss(model, params, state.batch_stats, batch, True)
-
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        loss, new_stats, grads = _loss_and_grads(
+            model, state.params, state.batch_stats, batch, batch_chunk)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         grad_norm = optax.global_norm(grads)
@@ -159,6 +207,7 @@ def make_multi_train_step(
     tx: optax.GradientTransformation,
     mesh=None,
     donate: bool = True,
+    batch_chunk: int = 0,
 ):
     """Run several optimizer steps in ONE device dispatch via ``lax.scan``.
 
@@ -174,11 +223,8 @@ def make_multi_train_step(
 
     def multi_fn(state: TrainState, batches):
         def body(st, batch):
-            def loss_fn(params):
-                return _weighted_loss(model, params, st.batch_stats, batch, True)
-
-            (loss, new_stats), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(st.params)
+            loss, new_stats, grads = _loss_and_grads(
+                model, st.params, st.batch_stats, batch, batch_chunk)
             updates, new_opt_state = tx.update(grads, st.opt_state, st.params)
             new_params = optax.apply_updates(st.params, updates)
             st = st.replace(

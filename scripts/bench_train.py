@@ -57,7 +57,7 @@ def forward_flops(cfg, T):
 
 
 def bench_train_step(use_pallas: bool, batch=24, seconds=4.0, steps=8,
-                     trials=3):
+                     trials=3, batch_chunk=0):
     from convtasnet_tpu.config import ConvTasNetConfig, SolverConfig
     from convtasnet_tpu.train.train_step import (
         create_train_state,
@@ -71,10 +71,11 @@ def bench_train_step(use_pallas: bool, batch=24, seconds=4.0, steps=8,
 
         # probes the forward registry AND races the fused fwd+bwd kernels
         # against XLA autodiff per dilation for the train-step shape
-        ensure_probed_train(cfg, batch, T, verbose=True)
+        # (the per-slice shape when gradient accumulation chunks the batch)
+        ensure_probed_train(cfg, batch_chunk or batch, T, verbose=True)
     state, tx = create_train_state(cfg, SolverConfig(lr=1e-3),
                                    jax.random.PRNGKey(0), T)
-    step = make_multi_train_step(cfg, tx)
+    step = make_multi_train_step(cfg, tx, batch_chunk=batch_chunk)
     rng = np.random.default_rng(0)
     batch_data = (
         jnp.asarray(np.tile(rng.standard_normal((1, batch, T)), (steps, 1, 1)),
@@ -172,10 +173,28 @@ def main_dpt():
               f"MFU~{mfu:.1%})", flush=True)
 
 
+def main_chunked():
+    """Does the VMEM-residency bonus (docs/RESULTS.md "Batch scaling")
+    carry to training? Gradient accumulation over 8-row slices inside the
+    step vs the full-batch step, both forwards."""
+    print(f"# backend={jax.default_backend()} train batch_chunk sweep")
+    for use_pallas in (False, True):
+        for chunk in (0, 8):
+            dt, cfg, T = bench_train_step(use_pallas, batch_chunk=chunk)
+            train_f = 3 * forward_flops(cfg, T) * 24
+            mfu = train_f / dt / V5E_BF16_PEAK
+            print(f"train step B=24x4s pallas={int(use_pallas)} "
+                  f"chunk={chunk}: {dt * 1e3:.1f} ms  "
+                  f"({24 * 4.0 / dt:.0f}x realtime, MFU~{mfu:.1%})",
+                  flush=True)
+
+
 if __name__ == "__main__":
     import sys
 
     if "--separator" in sys.argv and "dpt" in sys.argv:
         main_dpt()
+    elif "--chunked" in sys.argv:
+        main_chunked()
     else:
         main()

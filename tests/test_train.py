@@ -289,3 +289,49 @@ def test_orbax_save_preempted_mid_swap_keeps_previous(tmp_path):
     sd, meta = load_checkpoint(od)
     assert meta["epoch"] == 2
     assert jax.tree_util.tree_leaves(sd)
+
+
+def test_batch_chunked_step_matches_unchunked():
+    """batch_chunk accumulates grads over row slices inside the step; the
+    resulting loss, grad_norm, and updated params must match the full-batch
+    step (the weighted-sum loss is additive over rows)."""
+    batch = _fake_batch(np.random.default_rng(3), B=4, T=1600)
+    # mark one row as padding so the weight normalizer is exercised
+    w = np.ones((4,), np.float32)
+    w[-1] = 0.0
+    batch = (batch[0], batch[1], batch[2], jnp.asarray(w))
+
+    state1, tx1 = create_train_state(TINY, SOLVER, jax.random.PRNGKey(0), 1600)
+    step1 = make_train_step(TINY, tx1, donate=False)
+    s1, m1 = step1(state1, batch)
+
+    state2, tx2 = create_train_state(TINY, SOLVER, jax.random.PRNGKey(0), 1600)
+    step2 = make_train_step(TINY, tx2, donate=False, batch_chunk=2)
+    s2, m2 = step2(state2, batch)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m1["grad_norm"]),
+                               float(m2["grad_norm"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_batch_chunked_step_bn_falls_back():
+    """BN running stats are a full-batch reduction; chunking must silently
+    use the unchunked path (identical batch_stats update)."""
+    cfg = ConvTasNetConfig(
+        n_filters=16, kernel_size=8, bottleneck=12, hidden=24, conv_kernel=3,
+        num_blocks=2, num_repeats=1, num_speakers=2, norm_type="BN")
+    batch = _fake_batch(np.random.default_rng(4), B=4, T=1600)
+    state1, tx1 = create_train_state(cfg, SOLVER, jax.random.PRNGKey(0), 1600)
+    step1 = make_train_step(cfg, tx1, donate=False)
+    s1, _ = step1(state1, batch)
+    state2, tx2 = create_train_state(cfg, SOLVER, jax.random.PRNGKey(0), 1600)
+    step2 = make_train_step(cfg, tx2, donate=False, batch_chunk=2)
+    s2, _ = step2(state2, batch)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.batch_stats),
+                    jax.tree_util.tree_leaves(s2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
