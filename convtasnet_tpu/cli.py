@@ -106,6 +106,10 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--steps-per-call", type=int, default=1,
                    help="optimizer steps per device dispatch (lax.scan)")
+    g.add_argument("--train-batch-chunk", type=int, default=0,
+                   help="accumulate gradients over this many batch rows per "
+                        "slice inside the step (0 = full batch; same "
+                        "numbers, VMEM-friendlier schedule)")
     g.add_argument("--profile", default="", metavar="DIR",
                    help="write a JAX profiler trace of the first epoch's "
                         "steady-state steps to DIR (view with "
@@ -150,6 +154,7 @@ def _cfg_from_args(a: argparse.Namespace) -> TrainConfig:
             model_path=a.model_path, continue_from=a.continue_from,
             print_freq=a.print_freq, seed=a.seed,
             steps_per_call=getattr(a, "steps_per_call", 1),
+            train_batch_chunk=getattr(a, "train_batch_chunk", 0),
             profile_dir=getattr(a, "profile", "") or "",
             profile_steps=getattr(a, "profile_steps", 10)),
         mesh=MeshConfig(data_axis=a.n_data),

@@ -121,6 +121,10 @@ class SolverConfig:
     print_freq: int = 10
     seed: int = 0
     steps_per_call: int = 1   # optimizer steps per device dispatch (lax.scan)
+    # Gradient accumulation over this many batch rows per slice inside the
+    # step (0 = full batch). Same numbers, VMEM-friendlier schedule
+    # (train/train_step._loss_and_grads); no effect on BN configs.
+    train_batch_chunk: int = 0
     # JAX profiler: trace `profile_steps` steady-state steps of the first
     # epoch into `profile_dir` (empty = off). SURVEY §5 tracing subsystem.
     profile_dir: str = ""

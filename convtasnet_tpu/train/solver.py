@@ -90,13 +90,22 @@ class Solver:
             )
 
             ensure_probed(cfg.model, cfg.data.batch_size, example_len)
-            ensure_probed_train(cfg.model, cfg.data.batch_size, example_len)
+            # probe at the per-slice shape when gradient accumulation chunks
+            # the batch — those are the shapes the fused train pair runs at
+            train_shape_batch = (s.train_batch_chunk
+                                 if 0 < s.train_batch_chunk
+                                 < cfg.data.batch_size
+                                 else cfg.data.batch_size)
+            ensure_probed_train(cfg.model, train_shape_batch, example_len)
         self.state, self.tx = create_train_state(cfg.model, s, rng, example_len)
-        self.train_step = make_train_step(cfg.model, self.tx, mesh=mesh)
+        self.train_step = make_train_step(
+            cfg.model, self.tx, mesh=mesh,
+            batch_chunk=s.train_batch_chunk)
         self.eval_step = make_eval_step(cfg.model, mesh=mesh)
         self.steps_per_call = max(1, s.steps_per_call)
         self.multi_step = (
-            make_multi_train_step(cfg.model, self.tx, mesh=mesh)
+            make_multi_train_step(cfg.model, self.tx, mesh=mesh,
+                                  batch_chunk=s.train_batch_chunk)
             if self.steps_per_call > 1 else None)
 
         # LR / early-stop state machine (src/solver.py:73-76)

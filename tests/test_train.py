@@ -335,3 +335,33 @@ def test_batch_chunked_step_bn_falls_back():
     for a, b in zip(jax.tree_util.tree_leaves(s1.batch_stats),
                     jax.tree_util.tree_leaves(s2.batch_stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_solver_train_batch_chunk(tmp_path):
+    """Solver with train_batch_chunk: end-to-end training works and the
+    loss drops (grad accumulation over 2-row slices inside the step)."""
+    from tests.test_data import _write_corpus
+    from convtasnet_tpu.data.manifest import build_manifests
+    from convtasnet_tpu.data.dataset import SeparationDataset
+    from convtasnet_tpu.data.loader import BatchLoader
+    from convtasnet_tpu.train.solver import Solver
+
+    root = _write_corpus(str(tmp_path), [16000] * 6, split="tr", seed=0)
+    _write_corpus(str(tmp_path), [16000] * 2, split="cv", seed=1)
+    jd = os.path.join(root, "json")
+    build_manifests(root, jd, 8000, splits=("tr", "cv"))
+    cfg = TrainConfig(
+        model=TINY,
+        data=DataConfig(sample_rate=8000, segment=1.0, batch_size=4),
+        solver=SolverConfig(
+            epochs=2, lr=1e-3, save_folder=str(tmp_path / "exp"),
+            print_freq=2, train_batch_chunk=2),
+    )
+    tr = BatchLoader(SeparationDataset(os.path.join(jd, "tr"), 4, 8000,
+                                       segment=1.0), shuffle=True, seed=0)
+    cv = BatchLoader(SeparationDataset(os.path.join(jd, "cv"), 1, 8000,
+                                       segment=-1.0, cv_maxlen=6.0),
+                     pad_to_multiple=1600)
+    result = Solver(cfg, tr, cv).train()
+    assert len(result["tr_loss"]) == 2
+    assert result["tr_loss"][-1] < result["tr_loss"][0]
