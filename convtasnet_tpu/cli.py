@@ -285,6 +285,7 @@ def cmd_separate(a) -> int:
                  streaming=bool(getattr(a, "streaming", 0)),
                  chunk_seconds=getattr(a, "chunk_seconds", 0.5),
                  sequence_parallel=bool(getattr(a, "sequence_parallel", 0)),
+                 ring_attention=bool(getattr(a, "ring_attention", 0)),
                  use_pallas=None if up < 0 else bool(up),
                  batch_chunk=getattr(a, "batch_chunk", 8))
     print(f"separated {n} utterances into {a.out_dir}")
@@ -451,6 +452,11 @@ def main(argv=None) -> int:
     p.add_argument("--chunk-seconds", type=float, default=0.5)
     p.add_argument("--sequence-parallel", type=int, default=0,
                    help="shard each mixture's time axis over all devices")
+    p.add_argument("--ring-attention", type=int, default=0,
+                   help="with --sequence-parallel on a dpt model: rotate "
+                        "inter-chunk keys/values around the mesh (online "
+                        "softmax) instead of gathering them — O(chunks/"
+                        "device) memory for extreme lengths")
     p.add_argument("--use-pallas", type=int, default=-1, choices=[-1, 0, 1],
                    help="fused TCN kernels: -1 auto (on for real "
                         "accelerators), 0 off, 1 on")

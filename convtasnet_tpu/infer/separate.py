@@ -39,6 +39,7 @@ def separate(
     streaming: bool = False,
     chunk_seconds: float = 0.5,
     sequence_parallel: bool = False,
+    ring_attention: bool = False,
     use_pallas: Optional[bool] = None,
     batch_chunk: int = 8,
 ) -> int:
@@ -63,7 +64,8 @@ def separate(
                                    sample_rate, chunk_seconds, write_mix)
     if sequence_parallel:
         return _separate_sequence_parallel(cfg, variables, out_dir, mix_dir,
-                                           mix_json, sample_rate, write_mix)
+                                           mix_json, sample_rate, write_mix,
+                                           ring_attention=ring_attention)
     from convtasnet_tpu.infer.evaluate import _maybe_enable_pallas
 
     cfg = _maybe_enable_pallas(cfg, use_pallas)
@@ -144,7 +146,8 @@ def _separate_streaming(cfg, variables, out_dir, mix_dir, mix_json,
 
 
 def _separate_sequence_parallel(cfg, variables, out_dir, mix_dir, mix_json,
-                                sample_rate, write_mix) -> int:
+                                sample_rate, write_mix,
+                                ring_attention: bool = False) -> int:
     """Arbitrarily-long mixtures: shard the time axis over all devices
     (``parallel/sharded_ops.py``) — memory per chip is T / n_devices, halo
     communication is O(1) in length."""
@@ -162,7 +165,8 @@ def _separate_sequence_parallel(cfg, variables, out_dir, mix_dir, mix_json,
         mixture, lengths, names = ds.load_batch(bi)
         T = int(lengths[0])
         est = np.asarray(jax.device_get(
-            separate_sharded(cfg, variables, jnp.asarray(mixture[0, :T]), mesh)))
+            separate_sharded(cfg, variables, jnp.asarray(mixture[0, :T]), mesh,
+                             ring_attention=ring_attention)))
         stem = os.path.splitext(os.path.basename(names[0]))[0]
         if write_mix:
             write_wav(os.path.join(out_dir, stem + ".wav"),

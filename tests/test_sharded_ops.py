@@ -157,3 +157,28 @@ def test_dpt_ring_attention_matches_gathered_and_unsharded():
     Tp = -(-(T + cfg.kernel_size) // quantum) * quantum
     want = _dpt_reference(cfg, variables, mixture, Tp)[:, :T]
     np.testing.assert_allclose(ring, want, rtol=1e-4, atol=1e-4)
+
+
+def test_separate_sequence_parallel_cli_dpt_ring(tmp_path):
+    """DPT + ring attention through the public separate() API."""
+    import os
+    from convtasnet_tpu.data.audio_io import read_wav, write_wav
+    from convtasnet_tpu.infer.separate import separate
+    from convtasnet_tpu.train.checkpoint import save_checkpoint
+
+    cfg = ConvTasNetConfig(**DPT)
+    variables = init_params(cfg, jax.random.PRNGKey(0), example_len=8000)
+    ckpt = str(tmp_path / "m.ckpt")
+    save_checkpoint(ckpt, {"params": variables["params"], "batch_stats": {}},
+                    cfg, epoch=0)
+    mix_dir = tmp_path / "mix"
+    os.makedirs(mix_dir)
+    rng = np.random.default_rng(1)
+    write_wav(str(mix_dir / "long.wav"),
+              0.3 * rng.standard_normal(20000).astype(np.float32), 8000)
+    out = str(tmp_path / "out")
+    n = separate(ckpt, out, mix_dir=str(mix_dir), sequence_parallel=True,
+                 ring_attention=True)
+    assert n == 1
+    y, sr = read_wav(os.path.join(out, "long_s2.wav"))
+    assert y.shape[0] == 20000
