@@ -56,9 +56,10 @@ def _add_model_flags(p: argparse.ArgumentParser) -> None:
                         "attention (models/dual_path.py)")
     g.add_argument("--dpt-chunk", type=int, default=128)
     g.add_argument("--dpt-layers", type=int, default=4)
-    g.add_argument("--dpt-heads", type=int, default=4,
-                   help="4 (head-dim 64) measures ~2x faster than 8 on TPU "
-                        "at equal quality; see docs/RESULTS.md")
+    g.add_argument("--dpt-heads", type=int, default=0,
+                   help="0 = auto (head-dim 32, the measured quality sweet "
+                        "spot at both gate scales); 4 at B=256 is ~2x faster "
+                        "at a ~3 dB at-scale cost — see docs/RESULTS.md")
     g.add_argument("--dpt-ff", type=int, default=1024)
     # Default follows ConvTasNetConfig so CLI- and library-trained models use
     # identical precision (f32, like the reference). Pass bfloat16 to trade

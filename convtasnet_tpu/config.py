@@ -49,11 +49,14 @@ class ConvTasNetConfig:
     separator: str = "tcn"      # tcn | dpt
     dpt_chunk: int = 128        # intra-chunk segment length (frames)
     dpt_layers: int = 4         # dual-path layer pairs
-    # 4 heads = head-dim 64 at the paper d_model: measured ~2x faster than
-    # 8 heads at every chunk size on v5e (deeper MXU contraction) at equal
-    # separation quality (+11.3 vs +11.0 dB on the synthetic gate) —
-    # docs/RESULTS.md "Second separator family".
-    dpt_heads: int = 4
+    # Attention heads for the dual-path layers. 0 (default) = auto:
+    # head-dim 32, i.e. heads = bottleneck // 32 — the measured quality
+    # sweet spot at BOTH gate scales (B=128: 4 heads +11.3 dB vs 8 heads
+    # +11.0; B=256: 8 heads +19.0 dB vs 4 heads +16.0 — docs/RESULTS.md
+    # "Second separator family"). Set explicitly to trade quality for
+    # speed: at B=256, 4 heads (head-dim 64) measures ~2x faster than 8
+    # (deeper MXU contraction) at a ~3 dB at-scale quality cost.
+    dpt_heads: int = 0
     dpt_ff: int = 1024          # FFN hidden width
     # TPU-specific knobs (no reference equivalent):
     compute_dtype: str = "float32"  # bfloat16 for MXU-friendly training
@@ -65,6 +68,11 @@ class ConvTasNetConfig:
     @property
     def stride(self) -> int:
         return self.kernel_size // 2
+
+    @property
+    def dpt_num_heads(self) -> int:
+        """Resolved head count: explicit ``dpt_heads``, else head-dim 32."""
+        return self.dpt_heads or max(1, self.bottleneck // 32)
 
     def receptive_field(self) -> int:
         """Receptive field of the TCN in encoder frames."""

@@ -202,7 +202,7 @@ class DualPathSeparator(nn.Module):
             # residents otherwise stack up per sublayer), same knob as the TCN
             layer_cls = nn.remat(DualPathLayer)
         for i in range(cfg.dpt_layers):
-            x = layer_cls(B, cfg.dpt_heads, cfg.dpt_ff,
+            x = layer_cls(B, cfg.dpt_num_heads, cfg.dpt_ff,
                           name=f"layer_{i}")(x, frame_valid)
 
         x = _LayerNorm(B, name="output_norm")(x)

@@ -303,7 +303,7 @@ def _dpt_shard_forward(cfg: ConvTasNetConfig, variables, samples,
     x_in = samples.astype(jnp.dtype(cfg.compute_dtype))
     w = _shard_encode(params, cfg, x_in, axis_name)  # [K_s, N]
     sep = params["separator"]
-    S, B, H = cfg.dpt_chunk, cfg.bottleneck, cfg.dpt_heads
+    S, B, H = cfg.dpt_chunk, cfg.bottleneck, cfg.dpt_num_heads
 
     y = _dpt_ln(sep["input_norm"], w)
     y = y @ sep["bottleneck"]["kernel"].astype(y.dtype)

@@ -227,3 +227,28 @@ def test_data_parallel_train_step_dpt():
         _, m_dp = step(state, sharded)
     np.testing.assert_allclose(float(m_ref["loss"]), float(m_dp["loss"]),
                                rtol=2e-5)
+
+
+def test_auto_heads_resolves_to_head_dim_32():
+    """dpt_heads=0 (the default) resolves to head-dim 32 — the measured
+    quality sweet spot at both gate scales (docs/RESULTS.md: B=128 favors
+    4 heads, B=256 favors 8). Explicit values pass through unchanged, so
+    checkpoints that stored a head count keep serving identically."""
+    assert ConvTasNetConfig(bottleneck=256, dpt_heads=0).dpt_num_heads == 8
+    assert ConvTasNetConfig(bottleneck=128, dpt_heads=0).dpt_num_heads == 4
+    assert ConvTasNetConfig(bottleneck=16, dpt_heads=0).dpt_num_heads == 1
+    assert ConvTasNetConfig(bottleneck=256, dpt_heads=4).dpt_num_heads == 4
+    # default config is auto
+    assert ConvTasNetConfig().dpt_heads == 0
+
+
+def test_auto_heads_forward_runs():
+    cfg = _cfg(bottleneck=32, dpt_heads=0)  # auto -> 1 head at tiny width
+    assert cfg.dpt_num_heads == 1
+    model = ConvTasNet(cfg)
+    mix = jnp.asarray(np.random.default_rng(2).standard_normal((2, 1200)),
+                      jnp.float32)
+    variables = init_params(cfg, jax.random.PRNGKey(0), example_len=1200)
+    est = model.apply(variables, mix)
+    assert est.shape == (2, 2, 1200)
+    assert jnp.all(jnp.isfinite(est))
