@@ -108,18 +108,53 @@ class _LayerNorm(nn.Module):
 
 
 class _AttentionSublayer(nn.Module):
-    """Pre-LN MHA + residual; one dense QKV matmul + output projection."""
+    """Pre-LN MHA + residual; one dense QKV matmul + output projection.
+
+    ``attend_axis`` selects which axis of the [M, n, S, B] tensor the
+    attention mixes: 2 = intra (within each chunk, over S), 1 = inter
+    (across chunks, over n). Both paths keep the LN/QKV/output projections
+    in the natural channels-last layout — measured on v5e, projecting the
+    *transposed* [M, S, n, B] tensor runs the same FLOPs ~7x slower (XLA
+    lowers it to per-(m, s) [n, B] matmuls instead of one [M·n·S, B] one),
+    which made the inter sublayer 5x the cost of the intra one. Only the
+    attention einsums differ between the two paths.
+    """
 
     features: int
     n_heads: int
+    attend_axis: int = 2
 
     @nn.compact
-    def __call__(self, x, key_valid):
+    def __call__(self, x, frame_valid):
+        # x: [M, n, S, B]; frame_valid: [n, S] bool (True = real frame)
+        M, n, S, B = x.shape
+        h = self.n_heads
+        d = self.features // h
         y = _LayerNorm(self.features, name="norm")(x)
         qkv = nn.Dense(3 * self.features, use_bias=False, name="qkv",
                        dtype=x.dtype)(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        a = masked_mha(q, k, v, key_valid, self.n_heads)
+        qh = q.reshape(M, n, S, h, d)
+        kh = k.reshape(M, n, S, h, d)
+        vh = v.reshape(M, n, S, h, d)
+        scale = 1.0 / np.sqrt(d)
+        if self.attend_axis == 2:       # intra: queries/keys over S
+            logits = jnp.einsum("mnqhd,mnkhd->mnhqk", qh, kh)
+            logits = logits.astype(jnp.float32) * scale
+            if frame_valid is not None:
+                bias = jnp.where(frame_valid, 0.0, NEG_INF)
+                logits = logits + bias[None, :, None, None, :]
+            w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            a = jnp.einsum("mnhqk,mnkhd->mnqhd", w, vh)
+        else:                           # inter: queries/keys over n
+            logits = jnp.einsum("mqshd,mkshd->mshqk", qh, kh)
+            logits = logits.astype(jnp.float32) * scale
+            if frame_valid is not None:
+                bias = jnp.where(frame_valid.T, 0.0, NEG_INF)
+                logits = logits + bias[None, :, None, None, :]
+            w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            a = jnp.einsum("mshqk,mkshd->mqshd", w, vh)
+        a = a.reshape(M, n, S, B)
         a = nn.Dense(self.features, use_bias=False, name="out",
                      dtype=x.dtype)(a)
         return x + a
@@ -150,18 +185,18 @@ class DualPathLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, frame_valid):
-        # x: [M, n, S, B]; frame_valid: [n, S] (True = real frame)
+        # x: [M, n, S, B]; frame_valid: [n, S] (True = real frame).
+        # Both passes stay in the natural layout; the sublayer's
+        # attend_axis picks the mixing axis (no swapaxes round trips).
         # --- intra: attend over S within each chunk ---
-        x = _AttentionSublayer(self.features, self.n_heads, name="intra_att")(
-            x, frame_valid[None])
+        x = _AttentionSublayer(self.features, self.n_heads, attend_axis=2,
+                               name="intra_att")(x, frame_valid)
         x = _FFNSublayer(self.features, self.ff, name="intra_ffn")(x)
         # --- inter: attend over chunks at each in-chunk position ---
-        xt = jnp.swapaxes(x, 1, 2)                    # [M, S, n, B]
-        chunk_valid = frame_valid.T                   # [S, n]
-        xt = _AttentionSublayer(self.features, self.n_heads, name="inter_att")(
-            xt, chunk_valid[None])
-        xt = _FFNSublayer(self.features, self.ff, name="inter_ffn")(xt)
-        return jnp.swapaxes(xt, 1, 2)
+        x = _AttentionSublayer(self.features, self.n_heads, attend_axis=1,
+                               name="inter_att")(x, frame_valid)
+        x = _FFNSublayer(self.features, self.ff, name="inter_ffn")(x)
+        return x
 
 
 class DualPathSeparator(nn.Module):

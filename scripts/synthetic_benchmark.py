@@ -92,6 +92,8 @@ def main(argv=None) -> int:
     ap.add_argument("--speakers", type=int, default=2)
     ap.add_argument("--mask-nonlinear", default="relu")
     ap.add_argument("--separator", default="tcn", choices=["tcn", "dpt"])
+    ap.add_argument("--dpt-chunk", type=int, default=0,
+                    help="dual-path intra-chunk length (0 = config default)")
     ap.add_argument("--dpt-heads", type=int, default=0,
                     help="override dpt attention heads (0 = config default)")
     ap.add_argument("--steps-per-call", type=int, default=1)
@@ -132,7 +134,8 @@ def main(argv=None) -> int:
         "--print-freq", "5", "--compute-dtype", "bfloat16",
         "--steps-per-call", str(a.steps_per_call),
         "--use-pallas", str(a.use_pallas),
-    ] + (["--dpt-heads", str(a.dpt_heads)] if a.dpt_heads else []))
+    ] + (["--dpt-heads", str(a.dpt_heads)] if a.dpt_heads else [])
+      + (["--dpt-chunk", str(a.dpt_chunk)] if a.dpt_chunk else []))
     from convtasnet_tpu.infer.evaluate import evaluate
 
     res = evaluate(os.path.join(exp, "final.ckpt"), os.path.join(jd, "tt"),
