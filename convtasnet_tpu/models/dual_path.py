@@ -92,19 +92,37 @@ def masked_mha(q, k, v, key_valid, n_heads: int):
 
 
 class _LayerNorm(nn.Module):
-    """Pre-LN with f32 statistics (last axis)."""
+    """Pre-LN with f32 statistics (last axis). Setup-style so the fused
+    Pallas path can read ``gamma``/``beta`` without invoking the op (same
+    pattern as ``models.conv_tasnet.Norm``)."""
 
     features: int
 
-    @nn.compact
+    def setup(self):
+        self.gamma = self.param(
+            "gamma", nn.initializers.ones, (self.features,))
+        self.beta = self.param(
+            "beta", nn.initializers.zeros, (self.features,))
+
     def __call__(self, x):
-        g = self.param("gamma", nn.initializers.ones, (self.features,))
-        b = self.param("beta", nn.initializers.zeros, (self.features,))
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + 1e-6)
-        return (y * g + b).astype(x.dtype)
+        return (y * self.gamma + self.beta).astype(x.dtype)
+
+
+class _ProjKernel(nn.Module):
+    """Owns one projection weight — the same param path ("<name>/kernel")
+    and init as ``nn.Dense(use_bias=False)``, but hands the raw matrix to
+    the caller so the fused attention kernel and the XLA path share it."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape)
 
 
 class _AttentionSublayer(nn.Module):
@@ -123,6 +141,8 @@ class _AttentionSublayer(nn.Module):
     features: int
     n_heads: int
     attend_axis: int = 2
+    train: bool = False
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x, frame_valid):
@@ -130,9 +150,37 @@ class _AttentionSublayer(nn.Module):
         M, n, S, B = x.shape
         h = self.n_heads
         d = self.features // h
-        y = _LayerNorm(self.features, name="norm")(x)
-        qkv = nn.Dense(3 * self.features, use_bias=False, name="qkv",
-                       dtype=x.dtype)(y)
+        norm = _LayerNorm(self.features, name="norm")
+        w_qkv = _ProjKernel((self.features, 3 * self.features),
+                            name="qkv")()
+        w_out = _ProjKernel((self.features, self.features), name="out")()
+
+        if (self.use_pallas and not self.train and self.attend_axis == 1
+                and x.ndim == 4 and B % h == 0 and B % 128 == 0):
+            # Fused inter-chunk sublayer (ops/pallas/dpt_attention.py):
+            # pre-LN + QKV + attention-over-chunks + out proj + residual in
+            # one VMEM-resident kernel. Trace-time gated on the per-shape
+            # probe registry — an unprobed / losing / non-compiling shape
+            # keeps the XLA path below (inference only; training autodiffs
+            # through the XLA ops).
+            from convtasnet_tpu.ops.pallas.dpt_attention import (
+                fused_inter_attention,
+                fused_inter_ready,
+            )
+
+            interpret = jax.default_backend() == "cpu"
+            st = fused_inter_ready(n, S, B, h, x.dtype, interpret)
+            if st is not None:
+                bias = None
+                if frame_valid is not None:
+                    bias = jnp.where(frame_valid, 0.0, NEG_INF)
+                return fused_inter_attention(
+                    x, norm.gamma, norm.beta, w_qkv, w_out, bias,
+                    n_heads=h, s_tile=(None if st == "auto" else st),
+                    interpret=interpret)
+
+        y = norm(x)
+        qkv = y @ w_qkv.astype(x.dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         qh = q.reshape(M, n, S, h, d)
         kh = k.reshape(M, n, S, h, d)
@@ -155,9 +203,7 @@ class _AttentionSublayer(nn.Module):
             w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
             a = jnp.einsum("mshqk,mkshd->mqshd", w, vh)
         a = a.reshape(M, n, S, B)
-        a = nn.Dense(self.features, use_bias=False, name="out",
-                     dtype=x.dtype)(a)
-        return x + a
+        return x + a @ w_out.astype(x.dtype)
 
 
 class _FFNSublayer(nn.Module):
@@ -182,6 +228,8 @@ class DualPathLayer(nn.Module):
     features: int
     n_heads: int
     ff: int
+    train: bool = False
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x, frame_valid):
@@ -190,10 +238,12 @@ class DualPathLayer(nn.Module):
         # attend_axis picks the mixing axis (no swapaxes round trips).
         # --- intra: attend over S within each chunk ---
         x = _AttentionSublayer(self.features, self.n_heads, attend_axis=2,
+                               train=self.train, use_pallas=self.use_pallas,
                                name="intra_att")(x, frame_valid)
         x = _FFNSublayer(self.features, self.ff, name="intra_ffn")(x)
         # --- inter: attend over chunks at each in-chunk position ---
         x = _AttentionSublayer(self.features, self.n_heads, attend_axis=1,
+                               train=self.train, use_pallas=self.use_pallas,
                                name="inter_att")(x, frame_valid)
         x = _FFNSublayer(self.features, self.ff, name="inter_ffn")(x)
         return x
@@ -237,7 +287,8 @@ class DualPathSeparator(nn.Module):
             # residents otherwise stack up per sublayer), same knob as the TCN
             layer_cls = nn.remat(DualPathLayer)
         for i in range(cfg.dpt_layers):
-            x = layer_cls(B, cfg.dpt_num_heads, cfg.dpt_ff,
+            x = layer_cls(B, cfg.dpt_num_heads, cfg.dpt_ff, train=train,
+                          use_pallas=bool(cfg.use_pallas),
                           name=f"layer_{i}")(x, frame_valid)
 
         x = _LayerNorm(B, name="output_norm")(x)

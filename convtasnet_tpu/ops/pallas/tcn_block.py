@@ -1052,7 +1052,7 @@ def _kernel_source_hash() -> str:
 
     h = hashlib.sha256()
     d = os.path.dirname(os.path.abspath(__file__))
-    for name in ("tcn_block.py", "tcn_block_bwd.py"):
+    for name in ("tcn_block.py", "tcn_block_bwd.py", "dpt_attention.py"):
         try:
             with open(os.path.join(d, name), "rb") as f:
                 h.update(f.read())
@@ -1138,6 +1138,13 @@ def ensure_probed(cfg, batch: int, T: int, verbose: bool = True) -> None:
     (disk hits via the persistent compile cache)."""
     if (not cfg.use_pallas or jax.default_backend() == "cpu"
             or getattr(cfg, "separator", "tcn") != "tcn"):
+        if getattr(cfg, "separator", "tcn") == "dpt":
+            # the dual-path family has its own fused kernel + probe
+            from convtasnet_tpu.ops.pallas.dpt_attention import (
+                ensure_probed_dpt,
+            )
+
+            ensure_probed_dpt(cfg, batch, T, verbose=verbose)
         return
     K = (T - cfg.kernel_size) // cfg.stride + 1
     cfg_key = (cfg.bottleneck, cfg.hidden, cfg.conv_kernel, cfg.num_blocks,

@@ -102,6 +102,9 @@ def main(argv=None) -> int:
                     help="encoder filter length (40 keeps the 2.5 ms paper "
                          "window at 16 kHz)")
     ap.add_argument("--use-pallas", type=int, default=-1)
+    ap.add_argument("--continue-from", default="",
+                    help="resume an interrupted gate from a checkpoint "
+                         "(e.g. <out>/exp/preempted.ckpt)")
     a = ap.parse_args(argv)
     sr = a.sample_rate
 
@@ -135,7 +138,8 @@ def main(argv=None) -> int:
         "--steps-per-call", str(a.steps_per_call),
         "--use-pallas", str(a.use_pallas),
     ] + (["--dpt-heads", str(a.dpt_heads)] if a.dpt_heads else [])
-      + (["--dpt-chunk", str(a.dpt_chunk)] if a.dpt_chunk else []))
+      + (["--dpt-chunk", str(a.dpt_chunk)] if a.dpt_chunk else [])
+      + (["--continue-from", a.continue_from] if a.continue_from else []))
     from convtasnet_tpu.infer.evaluate import evaluate
 
     res = evaluate(os.path.join(exp, "final.ckpt"), os.path.join(jd, "tt"),
