@@ -232,6 +232,11 @@ def xla_inter_attention(x, gamma, beta, w_qkv, w_out, key_bias, *,
 # (n, S, B, n_heads, dtype-str) -> s_tile int (use fused) | None (XLA wins)
 _DPT_READY: dict = {}
 _DPT_PROBED: set = set()
+# (S, B, n_heads, dtype-str) -> first raced winner; later shapes of the
+# same config (eval/separate batches vary in [M, T] and therefore n) only
+# compile+numerics-verify it instead of re-racing — races through the
+# relay's compile service cost minutes each
+_DPT_CONFIG_WINNERS: dict = {}
 
 
 def fused_inter_ready(n: int, S: int, B: int, n_heads: int, dtype,
@@ -380,6 +385,7 @@ def ensure_probed_dpt(cfg, batch: int, T: int, verbose: bool = True) -> None:
     h = cfg.dpt_num_heads
     dt = str(jnp.dtype(cfg.compute_dtype))
     key = (n, S, B, h, dt)
+    cfg_key = (S, B, h, dt)
     shape_key = ("dpt", batch) + key
     if shape_key in _DPT_PROBED:
         return
@@ -388,6 +394,7 @@ def ensure_probed_dpt(cfg, batch: int, T: int, verbose: bool = True) -> None:
     if cached:
         win = cached.get("inter")
         _DPT_READY[key] = int(win) if win is not None else None
+        _DPT_CONFIG_WINNERS.setdefault(cfg_key, _DPT_READY[key])
         _DPT_PROBED.add(shape_key)
         if verbose:
             import sys as _sys
@@ -403,8 +410,23 @@ def ensure_probed_dpt(cfg, batch: int, T: int, verbose: bool = True) -> None:
                 autotune=False, check_numerics=False,
                 only_tile=int(win))
         return
-    win = probe_fused_inter(M=batch, n=n, S=S, B=B, n_heads=h,
-                            dtype=jnp.dtype(cfg.compute_dtype),
-                            verbose=verbose)
+    if cfg_key in _DPT_CONFIG_WINNERS:
+        # config already raced at another shape: trust its winner but
+        # prove the compile + numerics at THIS shape (a larger n can VMEM-
+        # OOM the same tile; a failure degrades this shape to XLA)
+        prev = _DPT_CONFIG_WINNERS[cfg_key]
+        if prev is None:
+            _DPT_READY[key] = None
+            win = None
+        else:
+            win = probe_fused_inter(
+                M=batch, n=n, S=S, B=B, n_heads=h,
+                dtype=jnp.dtype(cfg.compute_dtype), verbose=verbose,
+                autotune=False, only_tile=int(prev))
+    else:
+        win = probe_fused_inter(M=batch, n=n, S=S, B=B, n_heads=h,
+                                dtype=jnp.dtype(cfg.compute_dtype),
+                                verbose=verbose)
+        _DPT_CONFIG_WINNERS[cfg_key] = win
     _autotune_cache_store(disk_key, {"inter": win})
     _DPT_PROBED.add(shape_key)

@@ -155,6 +155,7 @@ def test_ready_registry_and_disk_cache(monkeypatch, tmp_path):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(dpa, "_DPT_READY", {})
     monkeypatch.setattr(dpa, "_DPT_PROBED", set())
+    monkeypatch.setattr(dpa, "_DPT_CONFIG_WINNERS", {})
 
     T = 16 * 100 * cfg.stride
     dpa.ensure_probed_dpt(cfg, 4, T, verbose=False)
@@ -162,12 +163,20 @@ def test_ready_registry_and_disk_cache(monkeypatch, tmp_path):
     dpa.ensure_probed_dpt(cfg, 4, T, verbose=False)   # idempotent
     assert len(calls) == 1
 
+    # a different shape of the SAME config verifies the first winner
+    # (only_tile) instead of re-racing
+    dpa.ensure_probed_dpt(cfg, 4, T * 2, verbose=False)
+    assert len(calls) == 2
+    assert calls[-1]["autotune"] is False
+    assert calls[-1]["only_tile"] == 16
+
     # disk round trip: fresh registries, same shape -> loaded, winner
     # verified via only_tile (autotune=False)
     monkeypatch.setattr(dpa, "_DPT_READY", {})
     monkeypatch.setattr(dpa, "_DPT_PROBED", set())
+    monkeypatch.setattr(dpa, "_DPT_CONFIG_WINNERS", {})
     dpa.ensure_probed_dpt(cfg, 4, T, verbose=False)
-    assert len(calls) == 2
+    assert len(calls) == 3
     assert calls[-1]["autotune"] is False
     assert calls[-1]["only_tile"] == 16
 
