@@ -7,7 +7,9 @@ spills them to HBM (34% MFU). This experiment runs a B=32 forward as a
 buffers are small enough to be VMEM-homed again, trading zero math for
 restored residency.
 
-Usage: python scripts/bench_chunked.py [batch] [chunk]
+Usage: python scripts/bench_chunked.py [batch] [chunk] [separator]
+(the same VMEM-residency effect applies to the dual-path family — pass
+``dpt`` to measure it there)
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(batch: int = 32, chunk: int = 8) -> None:
+def main(batch: int = 32, chunk: int = 8, separator: str = "tcn") -> None:
     from convtasnet_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
@@ -33,7 +35,7 @@ def main(batch: int = 32, chunk: int = 8) -> None:
 
     sr, seconds = 8000, 4.0
     T = int(seconds * sr)
-    cfg = ConvTasNetConfig(compute_dtype="bfloat16",
+    cfg = ConvTasNetConfig(compute_dtype="bfloat16", separator=separator,
                            use_pallas=jax.default_backend() != "cpu")
     ensure_probed(cfg, chunk, T, verbose=True)   # probe at the CHUNK shape
     ensure_probed(cfg, batch, T, verbose=True)   # and the full shape
@@ -63,4 +65,5 @@ def main(batch: int = 32, chunk: int = 8) -> None:
 if __name__ == "__main__":
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     c = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    main(b, c)
+    sep = sys.argv[3] if len(sys.argv) > 3 else "tcn"
+    main(b, c, sep)
