@@ -155,29 +155,40 @@ class _AttentionSublayer(nn.Module):
                             name="qkv")()
         w_out = _ProjKernel((self.features, self.features), name="out")()
 
-        if (self.use_pallas and not self.train and self.attend_axis == 1
+        if (self.use_pallas and self.attend_axis == 1
                 and x.ndim == 4 and B % h == 0 and B % 128 == 0):
             # Fused inter-chunk sublayer (ops/pallas/dpt_attention.py):
             # pre-LN + QKV + attention-over-chunks + out proj + residual in
             # one VMEM-resident kernel. Trace-time gated on the per-shape
-            # probe registry — an unprobed / losing / non-compiling shape
-            # keeps the XLA path below (inference only; training autodiffs
-            # through the XLA ops).
+            # probe registries — an unprobed / losing / non-compiling shape
+            # keeps the XLA path below. Inference uses the forward kernel;
+            # training additionally requires the fused-backward registry
+            # (probe_fused_inter_train raced AND cotangent-verified the
+            # pair) and goes through the custom-VJP wrapper.
             from convtasnet_tpu.ops.pallas.dpt_attention import (
                 fused_inter_attention,
+                fused_inter_attention_ad,
                 fused_inter_ready,
+                fused_inter_train_ready,
             )
 
             interpret = jax.default_backend() == "cpu"
             st = fused_inter_ready(n, S, B, h, x.dtype, interpret)
-            if st is not None:
+            trn = self.train and fused_inter_train_ready(
+                n, S, B, h, x.dtype, interpret)
+            if st is not None and (not self.train or trn):
                 bias = None
                 if frame_valid is not None:
                     bias = jnp.where(frame_valid, 0.0, NEG_INF)
+                st_val = None if st == "auto" else st
+                if self.train:
+                    return fused_inter_attention_ad(
+                        x, norm.gamma, norm.beta, w_qkv, w_out, bias,
+                        n_heads=h, s_tile=st_val, bwd=True,
+                        interpret=interpret)
                 return fused_inter_attention(
                     x, norm.gamma, norm.beta, w_qkv, w_out, bias,
-                    n_heads=h, s_tile=(None if st == "auto" else st),
-                    interpret=interpret)
+                    n_heads=h, s_tile=st_val, interpret=interpret)
 
         y = norm(x)
         qkv = y @ w_qkv.astype(x.dtype)

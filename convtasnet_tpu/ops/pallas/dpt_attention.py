@@ -226,6 +226,267 @@ def xla_inter_attention(x, gamma, beta, w_qkv, w_out, key_bias, *,
 
 
 # --------------------------------------------------------------------------
+# Fused backward (training path): recompute-in-VMEM, single kernel.
+# --------------------------------------------------------------------------
+
+def _inter_bwd_kernel(x_ref, g_ref, wqkv_ref, wout_ref, aff_ref, bias_ref,
+                      dx_ref, dwqkv_ref, dwout_ref, dgb_ref,
+                      p_ref, ds_ref, dqkv_t_ref, *, n_heads: int):
+    """Backward of ``_inter_kernel`` for one (batch row, position tile).
+
+    ``x`` is the only residual: the forward intermediates (LN, QKV,
+    softmax probabilities, mix) are recomputed in VMEM, then every
+    cotangent — dx and the weight/affine grads — is emitted in the same
+    pass. Weight grads accumulate across the sequential grid into
+    constant-index f32 output blocks (initialized at the first step),
+    the same discipline as ``tcn_block_bwd``.
+
+    dx_ref:     [1, n, st, B]; dwqkv_ref: [B, 3B] f32; dwout_ref: [B, B]
+    f32; dgb_ref: [2, B] f32 (dgamma, dbeta).
+    p_ref/ds_ref: [n, n, h, st] f32 scratch (probs / score cotangents);
+    dqkv_t_ref: [n, 3B, st] compute-dtype scratch (dq|dk|dv, transposed
+    layout).
+    """
+    _, n, st, B = x_ref.shape
+    h = n_heads
+    d = B // h
+    cdtype = x_ref.dtype
+
+    # ---- recompute the forward intermediates ----
+    xf = x_ref[0].astype(jnp.float32)                       # [n, st, B]
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + _EPS)
+    xhat = (xf - mean) * r                                  # f32
+    gam = aff_ref[0:1, :].reshape(1, 1, B)
+    y = (xhat * gam + aff_ref[1:2, :].reshape(1, 1, B)).astype(cdtype)
+    y2 = y.reshape(n * st, B)
+    qkv = jnp.dot(y2, wqkv_ref[:],
+                  preferred_element_type=jnp.float32).astype(cdtype)
+    qkv = qkv.reshape(n, st, 3 * B)
+    q = jnp.swapaxes(qkv[:, :, 0 * B:1 * B], 1, 2)          # [n, B, st]
+    k = jnp.swapaxes(qkv[:, :, 1 * B:2 * B], 1, 2)
+    v = jnp.swapaxes(qkv[:, :, 2 * B:3 * B], 1, 2)
+    scale = 1.0 / float(np.sqrt(d))
+    for kk in range(n):
+        k_kk = jax.lax.slice_in_dim(k, kk, kk + 1, axis=0)
+        prod = (q * k_kk).astype(jnp.float32)
+        sc = jnp.sum(prod.reshape(n, h, d, st), axis=2)
+        bias_k = bias_ref[0, kk:kk + 1, :].reshape(1, 1, st)
+        p_ref[:, kk] = sc * scale + bias_k
+    sc = p_ref[:]                                           # [n, n, h, st]
+    m_ = jnp.max(sc, axis=1, keepdims=True)
+    e = jnp.exp(sc - m_)
+    p = e / jnp.sum(e, axis=1, keepdims=True)
+    p_ref[:] = p
+    pc = p.astype(cdtype)
+
+    # ---- grads ----
+    gt = g_ref[0]                                           # [n, st, B]
+    g2 = gt.reshape(n * st, B)
+    # dWout = A^T g, with A recomputed exactly like the forward mix
+    acc = jnp.zeros((n, h, d, st), jnp.float32)
+    for kk in range(n):
+        w_kk = jax.lax.slice_in_dim(pc, kk, kk + 1, axis=1)
+        v_kk = jax.lax.slice_in_dim(v, kk, kk + 1, axis=0)
+        acc = acc + (w_kk.reshape(n, h, 1, st).astype(jnp.float32)
+                     * v_kk.reshape(1, h, d, st).astype(jnp.float32))
+    a2 = jnp.swapaxes(acc.reshape(n, B, st).astype(cdtype),
+                      1, 2).reshape(n * st, B)
+    dwout_acc = jax.lax.dot_general(
+        a2, g2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [B, B]
+    # dA = g @ Wout^T, then to the transposed attention layout
+    dA = jax.lax.dot_general(
+        g2, wout_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(cdtype)
+    dA_t = jnp.swapaxes(dA.reshape(n, st, B), 1, 2)         # [n, B, st]
+
+    # dp[q,k] = sum_d dA'[q] . v[k];  dv[k] = sum_q p[q,k] dA'[q]
+    dA_t4 = dA_t.reshape(n, h, d, st).astype(jnp.float32)
+    for kk in range(n):
+        v_kk = jax.lax.slice_in_dim(v, kk, kk + 1, axis=0)
+        prod = (dA_t * v_kk).astype(jnp.float32)
+        ds_ref[:, kk] = jnp.sum(prod.reshape(n, h, d, st), axis=2)
+        p_kk = jax.lax.slice_in_dim(pc, kk, kk + 1, axis=1)  # [n,1,h,st]
+        dv_k = jnp.sum(
+            p_kk.reshape(n, h, 1, st).astype(jnp.float32) * dA_t4, axis=0)
+        dqkv_t_ref[kk, 2 * B:3 * B, :] = dv_k.reshape(B, st).astype(cdtype)
+    # softmax backward (score scale folded in once)
+    dp = ds_ref[:]
+    p = p_ref[:]
+    rowsum = jnp.sum(p * dp, axis=1, keepdims=True)
+    dsc = ((p * (dp - rowsum)) * scale).astype(cdtype)      # [n, n, h, st]
+
+    # dq[q] = sum_k ds[q,k] k[k];  dk[k] = sum_q ds[q,k] q[q]
+    q4 = q.reshape(n, h, d, st).astype(jnp.float32)
+    dq_acc = jnp.zeros((n, h, d, st), jnp.float32)
+    for kk in range(n):
+        ds_kk = jax.lax.slice_in_dim(dsc, kk, kk + 1, axis=1)  # [n,1,h,st]
+        ds_kk = ds_kk.reshape(n, h, 1, st).astype(jnp.float32)
+        k_kk = jax.lax.slice_in_dim(k, kk, kk + 1, axis=0)
+        dq_acc = dq_acc + ds_kk * k_kk.reshape(1, h, d, st).astype(
+            jnp.float32)
+        dk_k = jnp.sum(ds_kk * q4, axis=0)                  # [h, d, st]
+        dqkv_t_ref[kk, 1 * B:2 * B, :] = dk_k.reshape(B, st).astype(cdtype)
+    dqkv_t_ref[:, 0 * B:1 * B, :] = dq_acc.reshape(n, B, st).astype(cdtype)
+
+    dqkv2 = jnp.swapaxes(dqkv_t_ref[:], 1, 2).reshape(n * st, 3 * B)
+    dwqkv_acc = jax.lax.dot_general(
+        y2, dqkv2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [B, 3B]
+    dy = jax.lax.dot_general(
+        dqkv2, wqkv_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [n*st, B] f32
+    # LN backward (f32 statistics)
+    xhat2 = xhat.reshape(n * st, B)
+    dgamma = jnp.sum(dy * xhat2, axis=0, keepdims=True)     # [1, B]
+    dbeta = jnp.sum(dy, axis=0, keepdims=True)
+    dxhat = dy.reshape(n, st, B) * gam
+    mean_d = jnp.mean(dxhat, axis=-1, keepdims=True)
+    mean_xd = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ln = r * (dxhat - mean_d - xhat * mean_xd)
+    dx_ref[0] = (gt.astype(jnp.float32) + dx_ln).astype(cdtype)
+
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+    dgb = jnp.concatenate([dgamma, dbeta], axis=0)          # [2, B]
+
+    @pl.when(first)
+    def _():
+        dwqkv_ref[:] = dwqkv_acc
+        dwout_ref[:] = dwout_acc
+        dgb_ref[:] = dgb
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dwqkv_ref[:] = dwqkv_ref[:] + dwqkv_acc
+        dwout_ref[:] = dwout_ref[:] + dwout_acc
+        dgb_ref[:] = dgb_ref[:] + dgb
+
+
+def fused_inter_attention_bwd(
+    x: jax.Array,                    # [M, n, S, B]
+    g: jax.Array,                    # [M, n, S, B] cotangent of the output
+    gamma: jax.Array, beta: jax.Array,
+    w_qkv: jax.Array, w_out: jax.Array,
+    key_bias: Optional[jax.Array],
+    *,
+    n_heads: int,
+    s_tile: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Single-kernel backward of the fused inter sublayer. Returns
+    ``(dx, dgamma, dbeta, dw_qkv, dw_out)`` in the primals' dtypes."""
+    M, n, S, B = x.shape
+    st = int(s_tile) if s_tile else _pick_s_tile(n, S, n_heads)
+    cdtype = x.dtype
+    aff = jnp.stack([gamma.astype(jnp.float32), beta.astype(jnp.float32)])
+    if key_bias is None:
+        key_bias = jnp.zeros((n, S), jnp.float32)
+    bias_t = jnp.transpose(
+        key_bias.astype(jnp.float32).reshape(n, S // st, st), (1, 0, 2))
+    flops = (2 * M * n * S * B * 3 * B * 3      # qkv fwd + dWqkv + dy
+             + 2 * M * n * S * B * B * 3        # out fwd + dWout + dA
+             + 4 * M * n * n * S * B * 3)       # attention fwd + bwd
+    dx, dwqkv, dwout, dgb = pl.pallas_call(
+        functools.partial(_inter_bwd_kernel, n_heads=n_heads),
+        grid=(M, S // st),
+        in_specs=[
+            pl.BlockSpec((1, n, st, B), lambda m, s: (m, 0, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, st, B), lambda m, s: (m, 0, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 3 * B), lambda m, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, B), lambda m, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, B), lambda m, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, st), lambda m, s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n, st, B), lambda m, s: (m, 0, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 3 * B), lambda m, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, B), lambda m, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, B), lambda m, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, n, S, B), cdtype),
+            jax.ShapeDtypeStruct((B, 3 * B), jnp.float32),
+            jax.ShapeDtypeStruct((B, B), jnp.float32),
+            jax.ShapeDtypeStruct((2, B), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, n, n_heads, st), jnp.float32),
+            pltpu.VMEM((n, n, n_heads, st), jnp.float32),
+            pltpu.VMEM((n, 3 * B, st), cdtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=3 * M * n * S * B * jnp.dtype(cdtype).itemsize,
+            transcendentals=M * n * n * n_heads * S),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, g, w_qkv.astype(cdtype), w_out.astype(cdtype), aff, bias_t)
+    return (dx, dgb[0].astype(gamma.dtype), dgb[1].astype(beta.dtype),
+            dwqkv.astype(w_qkv.dtype), dwout.astype(w_out.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_inter_ad(static, x, gamma, beta, w_qkv, w_out, key_bias):
+    n_heads, s_tile, _, interpret = static
+    return fused_inter_attention(x, gamma, beta, w_qkv, w_out, key_bias,
+                                 n_heads=n_heads, s_tile=s_tile,
+                                 interpret=interpret)
+
+
+def _fused_inter_fwd(static, *args):
+    # Residuals are just the primals: the backward rematerializes the
+    # intermediates in VMEM (jax.checkpoint semantics).
+    return _fused_inter_ad(static, *args), args
+
+
+def _fused_inter_bwd(static, residuals, g):
+    n_heads, s_tile, bwd, interpret = static
+    if bwd:
+        x, gamma, beta, w_qkv, w_out, key_bias = residuals
+        dx, dgamma, dbeta, dwqkv, dwout = fused_inter_attention_bwd(
+            x, g, gamma, beta, w_qkv, w_out, key_bias,
+            n_heads=n_heads, s_tile=s_tile, interpret=interpret)
+        return dx, dgamma, dbeta, dwqkv, dwout, jnp.zeros_like(residuals[5])
+    _, vjp = jax.vjp(
+        lambda *a: xla_inter_attention(*a, n_heads=n_heads), *residuals)
+    return vjp(g)
+
+
+_fused_inter_ad.defvjp(_fused_inter_fwd, _fused_inter_bwd)
+
+
+def fused_inter_attention_ad(
+    x, gamma, beta, w_qkv, w_out, key_bias, *,
+    n_heads: int,
+    s_tile: Optional[int] = None,
+    bwd: bool = True,
+    interpret: bool = False,
+):
+    """Differentiable fused inter sublayer: Pallas forward + selectable
+    backward — the single-kernel fused backward (``bwd=True``) or XLA
+    rematerialize-and-autodiff (``bwd=False``). Safe under ``jax.grad``;
+    use ``fused_inter_train_ready`` to pick it safely on a real backend."""
+    if key_bias is None:
+        M, n, S, B = x.shape
+        key_bias = jnp.zeros((n, S), jnp.float32)
+    static = (n_heads, s_tile, bool(bwd), interpret)
+    return _fused_inter_ad(static, x, gamma, beta, w_qkv, w_out, key_bias)
+
+
+# --------------------------------------------------------------------------
 # Probe / autotune registry (same discipline as tcn_block's).
 # --------------------------------------------------------------------------
 
@@ -363,6 +624,213 @@ def probe_fused_inter(
     win = int(best[2:]) if best else None
     _DPT_READY[key] = win
     return win
+
+
+# (n, S, B, n_heads, dtype-str) -> True (fused pair) | None (autodiff)
+_DPT_BWD_READY: dict = {}
+_DPT_BWD_CONFIG: dict = {}
+
+
+def fused_inter_train_ready(n: int, S: int, B: int, n_heads: int, dtype,
+                            interpret: bool):
+    """Trace-time gate for the fused train pair (Pallas forward + fused
+    single-kernel backward). True when this shape's pair compiled, won the
+    on-device race against XLA autodiff AND reproduced all five autodiff
+    cotangents; None keeps plain autodiff. Interpret mode returns True
+    (correctness testing)."""
+    if interpret:
+        return True
+    return _DPT_BWD_READY.get((n, S, B, n_heads, str(jnp.dtype(dtype))))
+
+
+def probe_fused_inter_train(
+    *,
+    M: int,
+    n: int,
+    S: int,
+    B: int,
+    n_heads: int,
+    dtype=jnp.bfloat16,
+    retries: int = 2,
+    verbose: bool = False,
+    interpret: bool = False,
+    autotune: bool = True,
+    check_numerics: Optional[bool] = None,
+    verify_only: bool = False,
+):
+    """AOT-compile and race the TRAINING path at one shape: full
+    forward+backward through (a) XLA autodiff of the sublayer vs (b) the
+    fused Pallas forward + fused single-kernel backward. A fused winner
+    must also reproduce ALL five autodiff cotangents on-device before it
+    is recorded — a fast-but-wrong backward would silently corrupt
+    training. Records True/None in ``_DPT_BWD_READY`` and returns it."""
+    from convtasnet_tpu.ops.pallas.tcn_block import (
+        _numerics_tol,
+        _race,
+        _rel_err,
+    )
+
+    if check_numerics is None:
+        check_numerics = not interpret
+
+    key = (n, S, B, n_heads, str(jnp.dtype(dtype)))
+    if verify_only and _DPT_BWD_READY.get(key) is None:
+        return None
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((M, n, S, B)), dtype)
+    gamma = jnp.ones((B,), jnp.float32)
+    beta = jnp.zeros((B,), jnp.float32)
+    w_qkv = jnp.asarray(rng.standard_normal((B, 3 * B)) / np.sqrt(B), dtype)
+    w_out = jnp.asarray(rng.standard_normal((B, B)) / np.sqrt(B), dtype)
+    valid = np.ones((n, S), bool)
+    valid[-1, S // 2:] = False
+    bias = jnp.asarray(np.where(valid, 0.0, NEG_INF), jnp.float32)
+    wargs = (gamma, beta, w_qkv, w_out)
+    st = _DPT_READY.get(key) or _pick_s_tile(n, S, n_heads)
+
+    def grad_fn(sublayer):
+        """x -> dx with all five input cotangents computed."""
+
+        def f(xx):
+            def loss(*a):
+                return jnp.sum(sublayer(*a).astype(jnp.float32))
+
+            grads = jax.grad(loss, argnums=tuple(range(5)))(xx, *wargs)
+            return grads[0].astype(xx.dtype)
+
+        return f
+
+    def fused(xx, *a):
+        return fused_inter_attention_ad(xx, *a, bias, n_heads=n_heads,
+                                        s_tile=st, bwd=True,
+                                        interpret=interpret)
+
+    def xla(xx, *a):
+        return xla_inter_attention(xx, *a, bias, n_heads=n_heads)
+
+    fn = grad_fn(fused)
+    err = None
+    for _ in range(retries + 1):
+        try:
+            jax.jit(fn).lower(x).compile()
+            err = None
+            break
+        except Exception as e:  # noqa: BLE001 — any compile failure
+            err = e
+    if err is not None:
+        if verbose:
+            import sys as _sys
+
+            print(f"dpt train probe {key}: compile failed "
+                  f"({type(err).__name__})", file=_sys.stderr)
+        _DPT_BWD_READY[key] = None
+        return None
+    if verify_only:
+        best = True
+    elif autotune and not interpret:
+        best_name, timed = _race({"fused": fn}, grad_fn(xla), x, inner=30)
+        best = best_name is not None
+        if verbose:
+            import sys as _sys
+
+            detail = " ".join(f"{k_}={v * 1e3:.3f}ms"
+                              for k_, v in sorted(timed.items()))
+            print(f"dpt train probe {key}: best="
+                  f"{'fused' if best else 'xla'} ({detail})",
+                  file=_sys.stderr)
+    else:
+        best = True
+    if best and check_numerics:
+        tol = 2 * _numerics_tol(dtype)
+
+        def full_grads(sublayer):
+            def f(xx):
+                def loss(*a):
+                    return jnp.sum(sublayer(*a).astype(jnp.float32))
+
+                return jax.grad(loss, argnums=tuple(range(5)))(xx, *wargs)
+
+            return f
+
+        try:
+            ref = jax.device_get(jax.jit(full_grads(xla))(x))
+            got = jax.device_get(jax.jit(full_grads(fused))(x))
+            merr = max(_rel_err(g_, w_) for g_, w_ in zip(got, ref))
+            ok = merr <= tol
+        except Exception:  # noqa: BLE001 — reference failed: cannot verify
+            ok, merr = True, float("nan")
+        if verbose:
+            import sys as _sys
+
+            state = "ok" if ok else "REJECTED"
+            print(f"dpt train probe {key}: grads numerics vs autodiff "
+                  f"(tol {tol:g}): max rel err {merr:.2e} [{state}]",
+                  file=_sys.stderr)
+        if not ok:
+            best = False
+    win = True if best else None
+    _DPT_BWD_READY[key] = win
+    return win
+
+
+def ensure_probed_dpt_train(cfg, batch: int, T: int,
+                            verbose: bool = True) -> None:
+    """Probe the fused DPT train pair for a concrete [batch, T] shape
+    (idempotent per shape; no-op on CPU). Probes the inference forward
+    first (the train pair reuses its s_tile winner); winners persist in
+    the shared autotune cache under ``dpt:train:`` keys."""
+    if (not cfg.use_pallas or jax.default_backend() == "cpu"
+            or getattr(cfg, "separator", "tcn") != "dpt"):
+        return
+    from convtasnet_tpu.ops.pallas.tcn_block import (
+        _autotune_cache_load,
+        _autotune_cache_store,
+    )
+
+    K = (T - cfg.kernel_size) // cfg.stride + 1
+    S = cfg.dpt_chunk
+    n = -(-K // S)
+    B = cfg.bottleneck
+    h = cfg.dpt_num_heads
+    dt = str(jnp.dtype(cfg.compute_dtype))
+    key = (n, S, B, h, dt)
+    shape_key = ("dpt-train", batch) + key
+    if shape_key in _DPT_PROBED:
+        return
+    ensure_probed_dpt(cfg, batch, T, verbose=verbose)
+    disk_key = "dpt:train:" + ":".join(str(v) for v in shape_key[1:])
+    cached = _autotune_cache_load().get(disk_key)  # truthy: {} re-probes
+    kw = dict(M=batch, n=n, S=S, B=B, n_heads=h,
+              dtype=jnp.dtype(cfg.compute_dtype), verbose=verbose)
+    if cached:
+        win = cached.get("train")
+        _DPT_BWD_READY[key] = True if win else None
+        _DPT_PROBED.add(shape_key)
+        if verbose:
+            import sys as _sys
+
+            print(f"dpt train probe: autotune winner loaded from disk "
+                  f"({disk_key} -> {win})", file=_sys.stderr)
+        if win:
+            # compile-verify the pair at this shape; a failure degrades
+            # this shape to plain autodiff
+            probe_fused_inter_train(verify_only=True, autotune=False,
+                                    check_numerics=False, **kw)
+        return
+    cfg_key = (S, B, h, dt)
+    if cfg_key in _DPT_BWD_CONFIG:
+        # config already raced at another shape: skip the timing race but
+        # keep the compile + cotangent-numerics gate at THIS shape
+        if _DPT_BWD_CONFIG[cfg_key] is None:
+            _DPT_BWD_READY[key] = None
+            win = None
+        else:
+            win = probe_fused_inter_train(autotune=False, **kw)
+    else:
+        win = probe_fused_inter_train(**kw)
+        _DPT_BWD_CONFIG[cfg_key] = win
+    _autotune_cache_store(disk_key, {"train": bool(win) if win else None})
+    _DPT_PROBED.add(shape_key)
 
 
 def ensure_probed_dpt(cfg, batch: int, T: int, verbose: bool = True) -> None:

@@ -1182,9 +1182,17 @@ def ensure_probed_train(cfg, batch: int, T: int, verbose: bool = True) -> None:
     gLN/cLN, and a real (non-CPU) backend. Winners persist to disk like the
     forward registry's (see ``ensure_probed``); a disk hit installs them and
     compile-verifies the fused pairs instead of re-racing."""
-    if (not cfg.use_pallas or cfg.norm_type not in ("gLN", "cLN")
-            or jax.default_backend() == "cpu"
-            or getattr(cfg, "separator", "tcn") != "tcn"):
+    if (not cfg.use_pallas or jax.default_backend() == "cpu"
+            or getattr(cfg, "separator", "tcn") != "tcn"
+            or cfg.norm_type not in ("gLN", "cLN")):
+        if (getattr(cfg, "separator", "tcn") == "dpt" and cfg.use_pallas
+                and jax.default_backend() != "cpu"):
+            # the dual-path family has its own fused train pair + probe
+            from convtasnet_tpu.ops.pallas.dpt_attention import (
+                ensure_probed_dpt_train,
+            )
+
+            ensure_probed_dpt_train(cfg, batch, T, verbose=verbose)
         return
     K = (T - cfg.kernel_size) // cfg.stride + 1
     key = ("train", batch, K, cfg.bottleneck, cfg.hidden, cfg.conv_kernel,

@@ -57,7 +57,8 @@ def forward_flops(cfg, T):
 
 
 def bench_train_step(use_pallas: bool, batch=24, seconds=4.0, steps=8,
-                     trials=3, batch_chunk=0):
+                     trials=3, batch_chunk=0, separator="tcn",
+                     cfg_overrides=None):
     from convtasnet_tpu.config import ConvTasNetConfig, SolverConfig
     from convtasnet_tpu.train.train_step import (
         create_train_state,
@@ -65,7 +66,8 @@ def bench_train_step(use_pallas: bool, batch=24, seconds=4.0, steps=8,
     )
 
     T = int(seconds * 8000)
-    cfg = ConvTasNetConfig(compute_dtype="bfloat16", use_pallas=use_pallas)
+    cfg = ConvTasNetConfig(compute_dtype="bfloat16", use_pallas=use_pallas,
+                           separator=separator, **(cfg_overrides or {}))
     if use_pallas and jax.default_backend() != "cpu":
         from convtasnet_tpu.ops.pallas.tcn_block import ensure_probed_train
 
@@ -173,6 +175,26 @@ def main_dpt():
               f"MFU~{mfu:.1%})", flush=True)
 
 
+def main_dpt_train():
+    """DPT train step: XLA autodiff vs the probe-gated fused pair (Pallas
+    inter-attention forward + fused single-kernel backward). Smaller B than
+    the TCN's 24: the attention's O(n^2) scores grow the backward."""
+    import sys as _sys
+
+    batch = 16
+    if "--batch" in _sys.argv:
+        batch = int(_sys.argv[_sys.argv.index("--batch") + 1])
+    print(f"# backend={jax.default_backend()} separator=dpt train B={batch}")
+    for use_pallas in (False, True):
+        dt, cfg, T = bench_train_step(use_pallas, batch=batch,
+                                      separator="dpt")
+        train_f = 3 * forward_flops(cfg, T) * batch
+        mfu = train_f / dt / V5E_BF16_PEAK
+        print(f"train step B={batch}x4s dpt pallas={int(use_pallas)}: "
+              f"{dt * 1e3:.1f} ms  ({batch * 4.0 / dt:.0f}x realtime, "
+              f"MFU~{mfu:.1%})", flush=True)
+
+
 def main_chunked():
     """Does the VMEM-residency bonus (docs/RESULTS.md "Batch scaling")
     carry to training? Gradient accumulation over 8-row slices inside the
@@ -193,7 +215,10 @@ if __name__ == "__main__":
     import sys
 
     if "--separator" in sys.argv and "dpt" in sys.argv:
-        main_dpt()
+        if "--train" in sys.argv:
+            main_dpt_train()
+        else:
+            main_dpt()
     elif "--chunked" in sys.argv:
         main_chunked()
     else:

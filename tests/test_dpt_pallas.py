@@ -92,10 +92,37 @@ def test_xla_ref_matches_flax_sublayer():
     assert _rel(got, want) < 1e-6
 
 
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 1e-4),
+                                       (jnp.bfloat16, 4e-2)])
+def test_fused_vjp_matches_autodiff(dtype, tol):
+    """The fused single-kernel backward reproduces every XLA-autodiff
+    cotangent (dx, dgamma, dbeta, dW_qkv, dW_out) — the training-path
+    trust gate, in interpret mode."""
+    M, n, S, B, h = 2, 5, 32, 128, 4
+    x, (g, b, wq, wo, bias), _ = _mk(M, n, S, B, h, dtype, seed=3)
+
+    def loss_of(fn):
+        def f(x_, g_, b_, wq_, wo_):
+            return jnp.sum(fn(x_, g_, b_, wq_, wo_).astype(jnp.float32) ** 2)
+
+        return f
+
+    fused = loss_of(lambda *a: dpa.fused_inter_attention_ad(
+        *a, bias, n_heads=h, bwd=True, interpret=True))
+    ref = loss_of(lambda *a: dpa.xla_inter_attention(*a, bias, n_heads=h))
+    got = jax.grad(fused, argnums=(0, 1, 2, 3, 4))(x, g, b, wq, wo)
+    want = jax.grad(ref, argnums=(0, 1, 2, 3, 4))(x, g, b, wq, wo)
+    for name, g_, w_ in zip(["dx", "dgamma", "dbeta", "dwqkv", "dwout"],
+                            got, want):
+        assert _rel(g_, w_) < tol, name
+    assert got[0].dtype == x.dtype
+
+
 def test_sublayer_gate_engages_for_inference_only():
-    """On CPU the registry reports "auto" (interpret): inference returns
-    the kernel's output, training the XLA path's — numerically equal, and
-    gradients must flow through the training path."""
+    """On CPU the registry reports ready (interpret): inference returns
+    the forward kernel's output, training the custom-VJP pair's —
+    numerically equal, and gradients must flow through the training
+    path."""
     from convtasnet_tpu.models.dual_path import _AttentionSublayer
 
     M, n, S, B, h = 2, 4, 16, 128, 4
@@ -184,3 +211,50 @@ def test_ready_registry_and_disk_cache(monkeypatch, tmp_path):
     with open(path) as f:
         data = json.load(f)
     assert any(k.startswith("dpt:inter:") for k in data["entries"])
+
+
+def test_train_registry_and_disk_cache(monkeypatch, tmp_path):
+    """ensure_probed_dpt_train: races once per config, verifies later
+    shapes, persists the winner under dpt:train: keys, and a fresh
+    process loads it from disk. Hermetic via CONVTASNET_AUTOTUNE_CACHE."""
+    from convtasnet_tpu.config import ConvTasNetConfig
+
+    monkeypatch.setenv("CONVTASNET_AUTOTUNE_CACHE", str(tmp_path))
+    cfg = ConvTasNetConfig(separator="dpt", bottleneck=128, dpt_chunk=16,
+                           use_pallas=True)
+    calls = []
+
+    def fake_train_probe(**kw):
+        calls.append(kw)
+        key = (kw["n"], kw["S"], kw["B"], kw["n_heads"],
+               str(jnp.dtype(kw["dtype"])))
+        dpa._DPT_BWD_READY[key] = True
+        return True
+
+    monkeypatch.setattr(dpa, "probe_fused_inter_train", fake_train_probe)
+    monkeypatch.setattr(dpa, "ensure_probed_dpt", lambda *a, **k: None)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(dpa, "_DPT_BWD_READY", {})
+    monkeypatch.setattr(dpa, "_DPT_BWD_CONFIG", {})
+    monkeypatch.setattr(dpa, "_DPT_PROBED", set())
+
+    T = 16 * 100 * cfg.stride
+    dpa.ensure_probed_dpt_train(cfg, 4, T, verbose=False)
+    assert len(calls) == 1 and "autotune" not in calls[-1]
+    dpa.ensure_probed_dpt_train(cfg, 4, T, verbose=False)  # idempotent
+    assert len(calls) == 1
+    # another shape of the same config: compile+numerics verify, no race
+    dpa.ensure_probed_dpt_train(cfg, 4, T * 2, verbose=False)
+    assert len(calls) == 2 and calls[-1]["autotune"] is False
+
+    # fresh process: disk hit -> verify_only compile check
+    monkeypatch.setattr(dpa, "_DPT_BWD_READY", {})
+    monkeypatch.setattr(dpa, "_DPT_BWD_CONFIG", {})
+    monkeypatch.setattr(dpa, "_DPT_PROBED", set())
+    dpa.ensure_probed_dpt_train(cfg, 4, T, verbose=False)
+    assert len(calls) == 3 and calls[-1]["verify_only"] is True
+
+    path = os.path.join(str(tmp_path), "autotune.json")
+    with open(path) as f:
+        data = json.load(f)
+    assert any(k.startswith("dpt:train:") for k in data["entries"])
