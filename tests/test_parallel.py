@@ -88,6 +88,37 @@ def test_sharded_step_with_fused_kernels_matches_xla():
                                    rtol=1e-3, atol=1e-5)
 
 
+def test_sharded_dpt_step_with_fused_pair_matches_xla():
+    """DP-sharded DPT train step with the fused inter-attention custom-VJP
+    pair (interpret mode under the CPU mesh) == the same step through plain
+    XLA autodiff: the pallas_call grids (batch-leading) partition over
+    ``data`` without de-sharding, forward AND backward."""
+    import dataclasses
+
+    solver_cfg = SolverConfig(lr=1e-3)
+    rng = np.random.default_rng(1)
+    batch_np = _batch(rng, 8)
+    mesh = make_mesh(n_data=8)
+
+    losses = {}
+    for use_pallas in (False, True):
+        # bottleneck 128 satisfies the fused gate's lane-width requirement
+        cfg = dataclasses.replace(
+            TINY, separator="dpt", bottleneck=128, dpt_chunk=16,
+            dpt_layers=1, dpt_heads=4, dpt_ff=32, use_pallas=use_pallas)
+        state, tx = create_train_state(cfg, solver_cfg,
+                                       jax.random.PRNGKey(0), 1600)
+        state = jax.device_put(state, replicated_sharding(mesh))
+        step = make_train_step(cfg, tx, mesh=mesh, donate=False)
+        s, m = step(state, shard_batch(mesh, batch_np))
+        losses[use_pallas] = (float(m["loss"]),
+                              jax.tree_util.tree_leaves(s.params))
+    np.testing.assert_allclose(losses[True][0], losses[False][0], rtol=1e-5)
+    for a, b in zip(losses[True][1], losses[False][1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
 def test_batch_actually_sharded():
     mesh = make_mesh(n_data=8)
     x = np.zeros((8, 100), np.float32)
