@@ -217,19 +217,77 @@ class _AttentionSublayer(nn.Module):
         return x + a @ w_out.astype(x.dtype)
 
 
+class _DenseParams(nn.Module):
+    """Owns one kernel + bias pair — the same param paths
+    ("<name>/kernel", "<name>/bias") and initializers as
+    ``nn.Dense(use_bias=True)``, but hands the raw arrays to the caller so
+    the fused FFN kernel and the XLA path share them."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape)
+        b = self.param("bias", nn.initializers.zeros, (self.shape[1],))
+        return k, b
+
+
 class _FFNSublayer(nn.Module):
     """Pre-LN GELU MLP + residual."""
 
     features: int
     ff: int
+    train: bool = False
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x):
-        y = _LayerNorm(self.features, name="norm")(x)
-        y = nn.Dense(self.ff, use_bias=True, name="up", dtype=x.dtype)(y)
+        norm = _LayerNorm(self.features, name="norm")
+        w_up, b_up = _DenseParams((self.features, self.ff), name="up")()
+        w_down, b_down = _DenseParams((self.ff, self.features),
+                                      name="down")()
+
+        if (self.use_pallas and x.ndim == 4
+                and self.features % 128 == 0 and self.ff % 128 == 0):
+            # Fused FFN sublayer (ops/pallas/dpt_ffn.py): pre-LN + GELU
+            # MLP + residual in one VMEM-resident kernel — in XLA the
+            # sublayer is HBM-bound on LN/GELU/residual round trips.
+            # Probe-gated per shape like the attention kernel. Inference
+            # uses the forward kernel; training additionally requires the
+            # fused-backward registry (probe_fused_ffn_train raced AND
+            # cotangent-verified the pair) and goes through the
+            # custom-VJP wrapper.
+            from convtasnet_tpu.ops.pallas.dpt_ffn import (
+                fused_ffn,
+                fused_ffn_ad,
+                fused_ffn_ready,
+                fused_ffn_train_ready,
+            )
+
+            M, n, S, B = x.shape
+            interpret = jax.default_backend() == "cpu"
+            kt = fused_ffn_ready(n * S, B, self.ff, x.dtype, interpret)
+            trn = self.train and fused_ffn_train_ready(
+                n * S, B, self.ff, x.dtype, interpret)
+            if kt is not None and (not self.train or trn):
+                kt_val = None if kt == "auto" else kt
+                if self.train:
+                    out = fused_ffn_ad(
+                        x.reshape(M, n * S, B), norm.gamma, norm.beta,
+                        w_up, b_up, w_down, b_down, k_tile=kt_val,
+                        bwd=True, interpret=interpret)
+                else:
+                    out = fused_ffn(
+                        x.reshape(M, n * S, B), norm.gamma, norm.beta,
+                        w_up, b_up, w_down, b_down, k_tile=kt_val,
+                        interpret=interpret)
+                return out.reshape(M, n, S, B)
+
+        y = norm(x)
+        y = y @ w_up.astype(x.dtype) + b_up.astype(x.dtype)
         y = jax.nn.gelu(y)
-        y = nn.Dense(self.features, use_bias=True, name="down",
-                     dtype=x.dtype)(y)
+        y = y @ w_down.astype(x.dtype) + b_down.astype(x.dtype)
         return x + y
 
 
@@ -251,12 +309,14 @@ class DualPathLayer(nn.Module):
         x = _AttentionSublayer(self.features, self.n_heads, attend_axis=2,
                                train=self.train, use_pallas=self.use_pallas,
                                name="intra_att")(x, frame_valid)
-        x = _FFNSublayer(self.features, self.ff, name="intra_ffn")(x)
+        x = _FFNSublayer(self.features, self.ff, train=self.train,
+                         use_pallas=self.use_pallas, name="intra_ffn")(x)
         # --- inter: attend over chunks at each in-chunk position ---
         x = _AttentionSublayer(self.features, self.n_heads, attend_axis=1,
                                train=self.train, use_pallas=self.use_pallas,
                                name="inter_att")(x, frame_valid)
-        x = _FFNSublayer(self.features, self.ff, name="inter_ffn")(x)
+        x = _FFNSublayer(self.features, self.ff, train=self.train,
+                         use_pallas=self.use_pallas, name="inter_ffn")(x)
         return x
 
 

@@ -782,10 +782,14 @@ def ensure_probed_dpt_train(cfg, batch: int, T: int,
     if (not cfg.use_pallas or jax.default_backend() == "cpu"
             or getattr(cfg, "separator", "tcn") != "dpt"):
         return
+    from convtasnet_tpu.ops.pallas.dpt_ffn import ensure_probed_dpt_ffn_train
     from convtasnet_tpu.ops.pallas.tcn_block import (
         _autotune_cache_load,
         _autotune_cache_store,
     )
+
+    # the FFN sublayers have their own fused train pair + probe (idempotent)
+    ensure_probed_dpt_ffn_train(cfg, batch, T, verbose=verbose)
 
     K = (T - cfg.kernel_size) // cfg.stride + 1
     S = cfg.dpt_chunk
@@ -841,10 +845,14 @@ def ensure_probed_dpt(cfg, batch: int, T: int, verbose: bool = True) -> None:
     if (not cfg.use_pallas or jax.default_backend() == "cpu"
             or getattr(cfg, "separator", "tcn") != "dpt"):
         return
+    from convtasnet_tpu.ops.pallas.dpt_ffn import ensure_probed_dpt_ffn
     from convtasnet_tpu.ops.pallas.tcn_block import (
         _autotune_cache_load,
         _autotune_cache_store,
     )
+
+    # the FFN sublayers have their own fused kernel + probe (idempotent)
+    ensure_probed_dpt_ffn(cfg, batch, T, verbose=verbose)
 
     K = (T - cfg.kernel_size) // cfg.stride + 1
     S = cfg.dpt_chunk
