@@ -162,17 +162,20 @@ def main():
 
 
 def main_dpt():
-    """Forward throughput of the dual-path family (no Pallas involvement —
-    its hot ops are plain MXU einsums)."""
+    """Forward throughput of the dual-path family: plain XLA einsums vs
+    the probe-gated fused sublayer kernels (inter attention + FFN)."""
     print(f"# backend={jax.default_backend()} separator=dpt")
     for batch in (8, 32):
-        dt, cfg, T = bench_forward(batch, use_pallas=False, separator="dpt")
-        f = forward_flops(cfg, T) * batch
-        mfu = f / dt / V5E_BF16_PEAK
-        rt = batch * 4.0 / dt
-        print(f"forward B={batch} dpt: {dt * 1e3:.2f} ms  "
-              f"({rt:.0f}x realtime, {dt / batch * 1e3:.3f} ms/elem, "
-              f"MFU~{mfu:.1%})", flush=True)
+        for use_pallas in (False, True):
+            dt, cfg, T = bench_forward(batch, use_pallas=use_pallas,
+                                       separator="dpt")
+            f = forward_flops(cfg, T) * batch
+            mfu = f / dt / V5E_BF16_PEAK
+            rt = batch * 4.0 / dt
+            print(f"forward B={batch} dpt pallas={int(use_pallas)}: "
+                  f"{dt * 1e3:.2f} ms  ({rt:.0f}x realtime, "
+                  f"{dt / batch * 1e3:.3f} ms/elem, MFU~{mfu:.1%})",
+                  flush=True)
 
 
 def main_dpt_train():
