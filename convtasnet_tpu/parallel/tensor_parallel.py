@@ -43,6 +43,32 @@ from convtasnet_tpu.ops.frames import frame_signal, overlap_and_add
 EPS = 1e-8
 
 
+def demote_pallas_for_model_parallel(
+    cfg: ConvTasNetConfig, mesh: Mesh, axis: str = "model",
+) -> ConvTasNetConfig:
+    """Return ``cfg`` with ``use_pallas`` cleared when ``mesh`` actually
+    splits the model over ``axis``.
+
+    The fused Pallas kernels assume full-width weights (all heads / the
+    whole hidden dim in one VMEM-resident operand) and, being custom
+    calls, cannot be auto-partitioned by GSPMD — under a Megatron split
+    they would either de-shard the operands or compute on partial weights.
+    Batch-only ("data") sharding is fine: the grids are batch-leading and
+    partition over the data axis (tested in tests/test_parallel.py). A
+    model axis of size 1 (the common 2-D mesh degenerate case) keeps the
+    fused path.
+    """
+    import dataclasses
+
+    try:
+        model_size = int(dict(mesh.shape).get(axis, 1))
+    except Exception:
+        model_size = 1
+    if model_size > 1 and getattr(cfg, "use_pallas", False):
+        return dataclasses.replace(cfg, use_pallas=False)
+    return cfg
+
+
 def param_partition_specs(cfg: ConvTasNetConfig, variables: Dict[str, Any]):
     """PartitionSpec pytree for the model variables under channel sharding.
 
@@ -270,6 +296,7 @@ def make_gspmd_forward(
 
     from convtasnet_tpu.models.conv_tasnet import ConvTasNet
 
+    cfg = demote_pallas_for_model_parallel(cfg, mesh)
     specs = param_partition_specs(cfg, variables)
     var_sh = jax.tree_util.tree_map(
         lambda _, s: NamedSharding(mesh, s), variables, specs,

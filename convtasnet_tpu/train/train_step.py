@@ -266,8 +266,13 @@ def make_sharded_train_step(
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from convtasnet_tpu.parallel.tensor_parallel import param_partition_specs
+    from convtasnet_tpu.parallel.tensor_parallel import (
+        demote_pallas_for_model_parallel, param_partition_specs)
 
+    # Fused Pallas kernels assume full-width (un-split) weights; under a
+    # real Megatron split they must not engage (GSPMD cannot partition the
+    # custom call). Data-only sharding keeps them.
+    model_cfg = demote_pallas_for_model_parallel(model_cfg, mesh)
     specs = param_partition_specs(
         model_cfg, {"params": state.params, "batch_stats": state.batch_stats}
     )["params"]
