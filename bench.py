@@ -121,6 +121,22 @@ if __name__ == "__main__":
         prof = args[i + 1]
         del args[i:i + 2]
     bs = int(args[0]) if args else 8
+    # The tunneled TPU relay hangs (not errors) on the first backend touch
+    # when it is down — probe it in a subprocess under a timeout so the
+    # bench always prints its one JSON line instead of wedging the driver.
+    from __graft_entry__ import _ambient_device_count
+
+    if _ambient_device_count(timeout=120.0) < 1:
+        print("TPU relay unreachable; no device to bench", file=sys.stderr)
+        print(json.dumps({
+            "metric": "separation throughput (audio-sec/sec/chip, "
+                      "paper config)",
+            "value": 0.0,
+            "unit": "x realtime",
+            "vs_baseline": 0.0,
+            "error": "tpu relay unreachable (backend probe timed out)",
+        }))
+        sys.exit(0)
     try:
         main(batch_size=bs, profile_dir=prof)
     except Exception as e:  # compile-service flakiness: degrade gracefully
