@@ -190,6 +190,37 @@ class _AttentionSublayer(nn.Module):
                     x, norm.gamma, norm.beta, w_qkv, w_out, bias,
                     n_heads=h, s_tile=st_val, interpret=interpret)
 
+        if (self.use_pallas and self.attend_axis == 2
+                and x.ndim == 4 and B % h == 0 and B % 128 == 0):
+            # Fused intra-chunk sublayer (ops/pallas/dpt_intra.py): same
+            # contract and gating discipline as the inter branch above —
+            # pre-LN + QKV + per-chunk MHA + out proj + residual in one
+            # VMEM-resident kernel, probe-gated per shape.
+            from convtasnet_tpu.ops.pallas.dpt_intra import (
+                fused_intra_attention,
+                fused_intra_attention_ad,
+                fused_intra_ready,
+                fused_intra_train_ready,
+            )
+
+            interpret = jax.default_backend() == "cpu"
+            ct = fused_intra_ready(n, S, B, h, x.dtype, interpret)
+            trn = self.train and fused_intra_train_ready(
+                n, S, B, h, x.dtype, interpret)
+            if ct is not None and (not self.train or trn):
+                bias = None
+                if frame_valid is not None:
+                    bias = jnp.where(frame_valid, 0.0, NEG_INF)
+                ct_val = None if ct == "auto" else ct
+                if self.train:
+                    return fused_intra_attention_ad(
+                        x, norm.gamma, norm.beta, w_qkv, w_out, bias,
+                        n_heads=h, c_tile=ct_val, bwd=True,
+                        interpret=interpret)
+                return fused_intra_attention(
+                    x, norm.gamma, norm.beta, w_qkv, w_out, bias,
+                    n_heads=h, c_tile=ct_val, interpret=interpret)
+
         y = norm(x)
         qkv = y @ w_qkv.astype(x.dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)

@@ -788,8 +788,14 @@ def ensure_probed_dpt_train(cfg, batch: int, T: int,
         _autotune_cache_store,
     )
 
-    # the FFN sublayers have their own fused train pair + probe (idempotent)
+    # the FFN and intra sublayers have their own fused train pairs +
+    # probes (idempotent)
     ensure_probed_dpt_ffn_train(cfg, batch, T, verbose=verbose)
+    from convtasnet_tpu.ops.pallas.dpt_intra import (
+        ensure_probed_dpt_intra_train,
+    )
+
+    ensure_probed_dpt_intra_train(cfg, batch, T, verbose=verbose)
 
     K = (T - cfg.kernel_size) // cfg.stride + 1
     S = cfg.dpt_chunk
@@ -851,8 +857,12 @@ def ensure_probed_dpt(cfg, batch: int, T: int, verbose: bool = True) -> None:
         _autotune_cache_store,
     )
 
-    # the FFN sublayers have their own fused kernel + probe (idempotent)
+    # the FFN and intra sublayers have their own fused kernels + probes
+    # (idempotent)
     ensure_probed_dpt_ffn(cfg, batch, T, verbose=verbose)
+    from convtasnet_tpu.ops.pallas.dpt_intra import ensure_probed_dpt_intra
+
+    ensure_probed_dpt_intra(cfg, batch, T, verbose=verbose)
 
     K = (T - cfg.kernel_size) // cfg.stride + 1
     S = cfg.dpt_chunk
