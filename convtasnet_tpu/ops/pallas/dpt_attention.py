@@ -45,21 +45,28 @@ _EPS = 1e-6
 
 
 def _inter_kernel(x_ref, wqkv_ref, wout_ref, aff_ref, bias_ref, o_ref,
-                  scores_ref, *, n_heads: int):
+                  scores_ref, *, n_heads: int, partial: bool = False):
     """One (batch row, position tile): fused pre-LN + MHA over chunks.
 
     x_ref:      [1, n, st, B]  input block (residual source)
-    wqkv_ref:   [B, 3B]        QKV projection
-    wout_ref:   [B, B]         output projection
+    wqkv_ref:   [B, 3*Bq]      QKV projection (Bq == B unless the weights
+                               are a tensor-parallel head-group shard)
+    wout_ref:   [Bq, B]        output projection
     aff_ref:    [2, B] f32     LN gamma / beta
     bias_ref:   [1, n, st] f32 additive key bias (0 valid / -1e9 pad),
                                position-tiled on its leading axis
     o_ref:      [1, n, st, B]  output block
     scores_ref: [n, n, h, st] f32 scratch — logits/weights, chunk x chunk
+
+    ``partial=True`` emits the output projection ONLY (no residual add):
+    the tensor-parallel caller psums partial projections over the model
+    axis and adds the residual once (Megatron g-operator, see
+    ``parallel/dpt_tp.py``).
     """
     _, n, st, B = x_ref.shape
+    Bq = wqkv_ref.shape[1] // 3     # local attention width (heads on shard)
     h = n_heads
-    d = B // h
+    d = Bq // h
     cdtype = x_ref.dtype
 
     # pre-LN over channels (f32 statistics, same as models/dual_path)
@@ -75,19 +82,19 @@ def _inter_kernel(x_ref, wqkv_ref, wout_ref, aff_ref, bias_ref, o_ref,
     # XLA Dense semantics (f32 accumulate, round once).
     qkv = jnp.dot(y.reshape(n * st, B), wqkv_ref[:],
                   preferred_element_type=jnp.float32).astype(cdtype)
-    qkv = qkv.reshape(n, st, 3 * B)
-    # transpose to [n, B, st]: chunk axis leading, positions in lanes —
+    qkv = qkv.reshape(n, st, 3 * Bq)
+    # transpose to [n, Bq, st]: chunk axis leading, positions in lanes —
     # the attention reductions below are then fully lane-filled VPU ops
-    q = jnp.swapaxes(qkv[:, :, 0 * B:1 * B], 1, 2)
-    k = jnp.swapaxes(qkv[:, :, 1 * B:2 * B], 1, 2)
-    v = jnp.swapaxes(qkv[:, :, 2 * B:3 * B], 1, 2)
+    q = jnp.swapaxes(qkv[:, :, 0 * Bq:1 * Bq], 1, 2)
+    k = jnp.swapaxes(qkv[:, :, 1 * Bq:2 * Bq], 1, 2)
+    v = jnp.swapaxes(qkv[:, :, 2 * Bq:3 * Bq], 1, 2)
 
     # scores[q, k, h, st] = sum_d qh . kh  (f32), one key chunk at a time:
-    # [n, B, st] multiply + per-head sublane reduction — no sliver matmuls
+    # [n, Bq, st] multiply + per-head sublane reduction — no sliver matmuls
     scale = 1.0 / float(np.sqrt(d))
     for kk in range(n):
-        k_kk = jax.lax.slice_in_dim(k, kk, kk + 1, axis=0)  # [1, B, st]
-        prod = (q * k_kk).astype(jnp.float32)               # [n, B, st]
+        k_kk = jax.lax.slice_in_dim(k, kk, kk + 1, axis=0)  # [1, Bq, st]
+        prod = (q * k_kk).astype(jnp.float32)               # [n, Bq, st]
         sc = jnp.sum(prod.reshape(n, h, d, st), axis=2)     # [n, h, st]
         bias_k = bias_ref[0, kk:kk + 1, :].reshape(1, 1, st)
         scores_ref[:, kk] = sc * scale + bias_k
@@ -101,14 +108,17 @@ def _inter_kernel(x_ref, wqkv_ref, wout_ref, aff_ref, bias_ref, o_ref,
     acc = jnp.zeros((n, h, d, st), jnp.float32)
     for kk in range(n):
         w_kk = jax.lax.slice_in_dim(w, kk, kk + 1, axis=1)  # [n, 1, h, st]
-        v_kk = jax.lax.slice_in_dim(v, kk, kk + 1, axis=0)  # [1, B, st]
+        v_kk = jax.lax.slice_in_dim(v, kk, kk + 1, axis=0)  # [1, Bq, st]
         acc = acc + (w_kk.reshape(n, h, 1, st).astype(jnp.float32)
                      * v_kk.reshape(1, h, d, st).astype(jnp.float32))
 
-    a = jnp.swapaxes(acc.reshape(n, B, st).astype(cdtype), 1, 2)  # [n,st,B]
-    out = jnp.dot(a.reshape(n * st, B), wout_ref[:],
+    a = jnp.swapaxes(acc.reshape(n, Bq, st).astype(cdtype), 1, 2)
+    out = jnp.dot(a.reshape(n * st, Bq), wout_ref[:],
                   preferred_element_type=jnp.float32).astype(cdtype)
-    o_ref[0] = x_ref[0] + out.reshape(n, st, B)
+    if partial:
+        o_ref[0] = out.reshape(n, st, B)
+    else:
+        o_ref[0] = x_ref[0] + out.reshape(n, st, B)
 
 
 def _pick_s_tile(n: int, S: int, n_heads: int) -> int:
@@ -130,23 +140,33 @@ def fused_inter_attention(
     x: jax.Array,                    # [M, n, S, B]
     gamma: jax.Array,                # [B] f32
     beta: jax.Array,                 # [B] f32
-    w_qkv: jax.Array,                # [B, 3B]
-    w_out: jax.Array,                # [B, B]
+    w_qkv: jax.Array,                # [B, 3*Bq] (Bq == B unless partial)
+    w_out: jax.Array,                # [Bq, B]
     key_bias: Optional[jax.Array],   # [n, S] f32 additive (None = no mask)
     *,
     n_heads: int,
     s_tile: Optional[int] = None,
     interpret: bool = False,
+    partial: bool = False,
 ) -> jax.Array:
     """Fused inter-chunk attention sublayer. Returns [M, n, S, B].
 
     ``s_tile``: positions per grid step (None = auto; raced by the probe as
     ``st<val>`` variants — smaller tiles shrink the score scratch for long
     inputs at the cost of thinner projection matmuls).
+
+    ``partial=True``: the weights are a tensor-parallel head-group shard
+    (``w_qkv [B, 3*Bq]`` / ``w_out [Bq, B]`` with ``n_heads`` the LOCAL
+    head count); the kernel returns the output projection only — no
+    residual — for the caller to ``psum`` over the model axis and add to
+    ``x`` once (``parallel/dpt_tp.py``).
     """
     M, n, S, B = x.shape
-    if B % n_heads:
-        raise ValueError(f"n_heads {n_heads} must divide channels {B}")
+    Bq = w_qkv.shape[1] // 3
+    if Bq % n_heads:
+        raise ValueError(f"n_heads {n_heads} must divide qkv width {Bq}")
+    if w_out.shape != (Bq, B):
+        raise ValueError(f"w_out {w_out.shape} != ({Bq}, {B})")
     st = int(s_tile) if s_tile else _pick_s_tile(n, S, n_heads)
     if S % st:
         raise ValueError(f"s_tile {st} must divide chunk length {S}")
@@ -159,18 +179,18 @@ def fused_inter_attention(
     # for any tile size
     bias_t = jnp.transpose(
         key_bias.astype(jnp.float32).reshape(n, S // st, st), (1, 0, 2))
-    flops = (2 * M * n * S * B * 3 * B          # qkv
-             + 2 * M * n * S * B * B            # out proj
-             + 4 * M * n * n * S * B)           # scores + mix
+    flops = (2 * M * n * S * B * 3 * Bq         # qkv
+             + 2 * M * n * S * Bq * B           # out proj
+             + 4 * M * n * n * S * Bq)          # scores + mix
     out = pl.pallas_call(
-        functools.partial(_inter_kernel, n_heads=n_heads),
+        functools.partial(_inter_kernel, n_heads=n_heads, partial=partial),
         grid=(M, S // st),
         in_specs=[
             pl.BlockSpec((1, n, st, B), lambda m, s: (m, 0, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 3 * B), lambda m, s: (0, 0),
+            pl.BlockSpec((B, 3 * Bq), lambda m, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, B), lambda m, s: (0, 0),
+            pl.BlockSpec((Bq, B), lambda m, s: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, B), lambda m, s: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -184,7 +204,7 @@ def fused_inter_attention(
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(2 * M * n * S * B * jnp.dtype(cdtype).itemsize
-                            + 4 * B * B * jnp.dtype(cdtype).itemsize),
+                            + 4 * B * Bq * jnp.dtype(cdtype).itemsize),
             transcendentals=M * n * n * n_heads * S),
         # Same rationale as fused_tcn_block: keep XLA's memory-space
         # assignment from homing the [M, n, S, B] output in VMEM next to
@@ -197,14 +217,16 @@ def fused_inter_attention(
 
 
 def xla_inter_attention(x, gamma, beta, w_qkv, w_out, key_bias, *,
-                        n_heads: int) -> jax.Array:
+                        n_heads: int, partial: bool = False) -> jax.Array:
     """The same sublayer through plain XLA ops — mirrors
     ``models/dual_path._AttentionSublayer`` with ``attend_axis=1`` (kept in
     sync by ``tests/test_dpt_pallas.py``); the probe's numerics reference
-    and timing baseline."""
+    and timing baseline. ``partial``: head-group weight shard, projection
+    only (same contract as ``fused_inter_attention``)."""
     M, n, S, B = x.shape
     h = n_heads
-    d = B // h
+    Bq = w_qkv.shape[1] // 3
+    d = Bq // h
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
@@ -221,8 +243,9 @@ def xla_inter_attention(x, gamma, beta, w_qkv, w_out, key_bias, *,
     if key_bias is not None:
         logits = logits + key_bias.T[None, :, None, None, :]
     w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    a = jnp.einsum("mshqk,mkshd->mqshd", w, vh).reshape(M, n, S, B)
-    return x + a @ w_out.astype(x.dtype)
+    a = jnp.einsum("mshqk,mkshd->mqshd", w, vh).reshape(M, n, S, Bq)
+    proj = a @ w_out.astype(x.dtype)
+    return proj if partial else x + proj
 
 
 # --------------------------------------------------------------------------

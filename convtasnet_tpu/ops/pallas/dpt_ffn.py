@@ -35,16 +35,22 @@ from jax.experimental.pallas import tpu as pltpu
 _EPS = 1e-6
 
 
-def _ffn_kernel(x_ref, wup_ref, wdn_ref, bias_ref, aff_ref, o_ref):
+def _ffn_kernel(x_ref, wup_ref, wdn_ref, bias_ref, aff_ref, o_ref, *,
+                partial: bool = False):
     """One (batch row, position tile): fused pre-LN + GELU MLP + residual.
 
     x_ref:    [1, kt, B]   input block (residual source)
-    wup_ref:  [B, F]       up projection
+    wup_ref:  [B, F]       up projection (F is the LOCAL hidden width
+                           under a tensor-parallel column shard)
     wdn_ref:  [F, B]       down projection
     bias_ref: [2, max(F, B)] f32 — row 0 = up bias in [:F]; row 1 = down
               bias in [:B]
     aff_ref:  [2, B] f32   LN gamma / beta
     o_ref:    [1, kt, B]   output block
+
+    ``partial=True`` emits the down projection ONLY (no down bias, no
+    residual): the tensor-parallel caller psums partials over the model
+    axis and adds the residual + down bias once (``parallel/dpt_tp.py``).
     """
     _, kt, B = x_ref.shape
     F = wup_ref.shape[1]
@@ -66,8 +72,10 @@ def _ffn_kernel(x_ref, wup_ref, wdn_ref, bias_ref, aff_ref, o_ref):
     # down proj + bias + residual
     out = jnp.dot(h, wdn_ref[:],
                   preferred_element_type=jnp.float32).astype(cdtype)
-    out = out + bias_ref[1:2, 0:B].astype(cdtype)
-    o_ref[0] = x_ref[0] + out
+    if partial:
+        o_ref[0] = out
+    else:
+        o_ref[0] = x_ref[0] + out + bias_ref[1:2, 0:B].astype(cdtype)
 
 
 def _pick_k_tile(Kp: int, B: int, F: int, itemsize: int = 2) -> int:
@@ -92,12 +100,19 @@ def fused_ffn(
     *,
     k_tile: Optional[int] = None,
     interpret: bool = False,
+    partial: bool = False,
 ) -> jax.Array:
     """Fused pre-LN GELU MLP sublayer. Returns [M, K, B].
 
     ``k_tile``: positions per grid step (None = auto; raced by the probe
     as ``kt<val>`` variants — smaller tiles shrink the hidden-activation
     footprint at the cost of thinner matmuls).
+
+    ``partial=True``: the weights are a tensor-parallel column shard of
+    the hidden dim (``w_up [B, F_local]`` / ``w_down [F_local, B]``); the
+    kernel returns the down projection only — no down bias, no residual —
+    for the caller to ``psum`` over the model axis and add to ``x`` (plus
+    ``b_down``) once (``parallel/dpt_tp.py``).
     """
     M, Kp, B = x.shape
     F = w_up.shape[1]
@@ -112,7 +127,7 @@ def fused_ffn(
     bias = bias.at[1, :B].set(b_down.astype(jnp.float32))
     flops = 2 * M * Kp * B * F * 2
     out = pl.pallas_call(
-        _ffn_kernel,
+        functools.partial(_ffn_kernel, partial=partial),
         grid=(M, Kp // kt),
         in_specs=[
             pl.BlockSpec((1, kt, B), lambda m, s: (m, s, 0),
@@ -357,11 +372,13 @@ def fused_ffn_ad(
     return _fused_ffn_ad(static, x, gamma, beta, w_up, b_up, w_down, b_down)
 
 
-def xla_ffn(x, gamma, beta, w_up, b_up, w_down, b_down) -> jax.Array:
+def xla_ffn(x, gamma, beta, w_up, b_up, w_down, b_down,
+            partial: bool = False) -> jax.Array:
     """The same sublayer through plain XLA ops — mirrors
     ``models/dual_path._FFNSublayer`` (kept in sync by
     ``tests/test_dpt_pallas.py``); the probe's numerics reference and
-    timing baseline."""
+    timing baseline. ``partial``: hidden-dim column shard, down
+    projection only (same contract as ``fused_ffn``; ``b_down`` unused)."""
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
@@ -370,6 +387,8 @@ def xla_ffn(x, gamma, beta, w_up, b_up, w_down, b_down) -> jax.Array:
     y = y.astype(x.dtype)
     y = y @ w_up.astype(x.dtype) + b_up.astype(x.dtype)
     y = jax.nn.gelu(y)
+    if partial:
+        return y @ w_down.astype(x.dtype)
     y = y @ w_down.astype(x.dtype) + b_down.astype(x.dtype)
     return x + y
 

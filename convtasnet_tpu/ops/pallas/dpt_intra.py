@@ -48,20 +48,26 @@ _EPS = 1e-6
 
 
 def _intra_kernel(x_ref, wqkv_ref, wout_ref, aff_ref, bias_ref, o_ref,
-                  at_ref, *, n_heads: int):
+                  at_ref, *, n_heads: int, partial: bool = False):
     """One (batch row, chunk tile): fused pre-LN + per-chunk MHA.
 
     x_ref:    [1, ct, S, B]  input block (residual source)
-    wqkv_ref: [B, 3B]        QKV projection
-    wout_ref: [B, B]         output projection
+    wqkv_ref: [B, 3*Bq]      QKV projection (Bq == B unless the weights
+                             are a tensor-parallel head-group shard)
+    wout_ref: [Bq, B]        output projection
     aff_ref:  [2, B] f32     LN gamma / beta
     bias_ref: [ct, S] f32    additive key bias (0 valid / -1e9 pad)
     o_ref:    [1, ct, S, B]  output block
-    at_ref:   [ct, B, S]     scratch — attention output, transposed layout
+    at_ref:   [ct, Bq, S]    scratch — attention output, transposed layout
+
+    ``partial=True`` emits the output projection ONLY (no residual add):
+    the tensor-parallel caller psums partial projections over the model
+    axis and adds the residual once (``parallel/dpt_tp.py``).
     """
     _, ct, S, B = x_ref.shape
+    Bq = wqkv_ref.shape[1] // 3     # local attention width (heads on shard)
     h = n_heads
-    d = B // h
+    d = Bq // h
     cdtype = x_ref.dtype
 
     # pre-LN over channels (f32 statistics, same as models/dual_path)
@@ -72,16 +78,16 @@ def _intra_kernel(x_ref, wqkv_ref, wout_ref, aff_ref, bias_ref, o_ref,
     b = aff_ref[1:2, :].reshape(1, 1, B)
     y = ((xf - mean) * jax.lax.rsqrt(var + _EPS) * g + b).astype(cdtype)
 
-    # QKV: one [ct*S, B] x [B, 3B] MXU matmul (f32 accumulate, round once)
+    # QKV: one [ct*S, B] x [B, 3*Bq] MXU matmul (f32 accumulate, round once)
     qkv = jnp.dot(y.reshape(ct * S, B), wqkv_ref[:],
                   preferred_element_type=jnp.float32).astype(cdtype)
-    qkv = qkv.reshape(ct, S, 3 * B)
-    # transposed per-chunk layout [ct, B, S]: positions in lanes; per-head
+    qkv = qkv.reshape(ct, S, 3 * Bq)
+    # transposed per-chunk layout [ct, Bq, S]: positions in lanes; per-head
     # operands are then 32-aligned SUBLANE slices (lane slices below 128
     # would force relayouts)
-    q = jnp.swapaxes(qkv[:, :, 0 * B:1 * B], 1, 2)
-    k = jnp.swapaxes(qkv[:, :, 1 * B:2 * B], 1, 2)
-    v = jnp.swapaxes(qkv[:, :, 2 * B:3 * B], 1, 2)
+    q = jnp.swapaxes(qkv[:, :, 0 * Bq:1 * Bq], 1, 2)
+    k = jnp.swapaxes(qkv[:, :, 1 * Bq:2 * Bq], 1, 2)
+    v = jnp.swapaxes(qkv[:, :, 2 * Bq:3 * Bq], 1, 2)
 
     scale = 1.0 / float(np.sqrt(d))
     for c in range(ct):
@@ -104,10 +110,13 @@ def _intra_kernel(x_ref, wqkv_ref, wout_ref, aff_ref, bias_ref, o_ref,
                 v_i, p, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(cdtype)
 
-    a = jnp.swapaxes(at_ref[:], 1, 2)                       # [ct, S, B]
-    out = jnp.dot(a.reshape(ct * S, B), wout_ref[:],
+    a = jnp.swapaxes(at_ref[:], 1, 2)                       # [ct, S, Bq]
+    out = jnp.dot(a.reshape(ct * S, Bq), wout_ref[:],
                   preferred_element_type=jnp.float32).astype(cdtype)
-    o_ref[0] = x_ref[0] + out.reshape(ct, S, B)
+    if partial:
+        o_ref[0] = out.reshape(ct, S, B)
+    else:
+        o_ref[0] = x_ref[0] + out.reshape(ct, S, B)
 
 
 def _chunk_tiles(n: int) -> list:
@@ -126,23 +135,33 @@ def fused_intra_attention(
     x: jax.Array,                    # [M, n, S, B]
     gamma: jax.Array,                # [B] f32
     beta: jax.Array,                 # [B] f32
-    w_qkv: jax.Array,                # [B, 3B]
-    w_out: jax.Array,                # [B, B]
+    w_qkv: jax.Array,                # [B, 3*Bq] (Bq == B unless partial)
+    w_out: jax.Array,                # [Bq, B]
     key_bias: Optional[jax.Array],   # [n, S] f32 additive (None = no mask)
     *,
     n_heads: int,
     c_tile: Optional[int] = None,
     interpret: bool = False,
+    partial: bool = False,
 ) -> jax.Array:
     """Fused intra-chunk attention sublayer. Returns [M, n, S, B].
 
     ``c_tile``: chunks per grid step (None = 1; raced by the probe as
     ``ct<val>`` variants — larger tiles amortize per-step overhead at the
     cost of a bigger kernel body and working set).
+
+    ``partial=True``: the weights are a tensor-parallel head-group shard
+    (``w_qkv [B, 3*Bq]`` / ``w_out [Bq, B]`` with ``n_heads`` the LOCAL
+    head count); the kernel returns the output projection only — no
+    residual — for the caller to ``psum`` over the model axis and add to
+    ``x`` once (``parallel/dpt_tp.py``).
     """
     M, n, S, B = x.shape
-    if B % n_heads:
-        raise ValueError(f"n_heads {n_heads} must divide channels {B}")
+    Bq = w_qkv.shape[1] // 3
+    if Bq % n_heads:
+        raise ValueError(f"n_heads {n_heads} must divide qkv width {Bq}")
+    if w_out.shape != (Bq, B):
+        raise ValueError(f"w_out {w_out.shape} != ({Bq}, {B})")
     ct = int(c_tile) if c_tile else 1
     if n % ct:
         raise ValueError(f"c_tile {ct} must divide n_chunks {n}")
@@ -150,18 +169,18 @@ def fused_intra_attention(
     aff = jnp.stack([gamma.astype(jnp.float32), beta.astype(jnp.float32)])
     if key_bias is None:
         key_bias = jnp.zeros((n, S), jnp.float32)
-    flops = (2 * M * n * S * B * 3 * B          # qkv
-             + 2 * M * n * S * B * B            # out proj
-             + 4 * M * n * S * S * B)           # scores + mix
+    flops = (2 * M * n * S * B * 3 * Bq         # qkv
+             + 2 * M * n * S * Bq * B           # out proj
+             + 4 * M * n * S * S * Bq)          # scores + mix
     out = pl.pallas_call(
-        functools.partial(_intra_kernel, n_heads=n_heads),
+        functools.partial(_intra_kernel, n_heads=n_heads, partial=partial),
         grid=(M, n // ct),
         in_specs=[
             pl.BlockSpec((1, ct, S, B), lambda m, c: (m, c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 3 * B), lambda m, c: (0, 0),
+            pl.BlockSpec((B, 3 * Bq), lambda m, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, B), lambda m, c: (0, 0),
+            pl.BlockSpec((Bq, B), lambda m, c: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, B), lambda m, c: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -171,11 +190,11 @@ def fused_intra_attention(
         out_specs=pl.BlockSpec((1, ct, S, B), lambda m, c: (m, c, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, n, S, B), cdtype),
-        scratch_shapes=[pltpu.VMEM((ct, B, S), cdtype)],
+        scratch_shapes=[pltpu.VMEM((ct, Bq, S), cdtype)],
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(2 * M * n * S * B * jnp.dtype(cdtype).itemsize
-                            + 4 * B * B * jnp.dtype(cdtype).itemsize),
+                            + 4 * B * Bq * jnp.dtype(cdtype).itemsize),
             transcendentals=M * n * n_heads * S * S),
         # same rationale as the other fused kernels: keep XLA's memory-
         # space assignment from homing the output in VMEM next to the
@@ -189,14 +208,16 @@ def fused_intra_attention(
 
 
 def xla_intra_attention(x, gamma, beta, w_qkv, w_out, key_bias, *,
-                        n_heads: int) -> jax.Array:
+                        n_heads: int, partial: bool = False) -> jax.Array:
     """The same sublayer through plain XLA ops — mirrors
     ``models/dual_path._AttentionSublayer`` with ``attend_axis=2`` (kept
     in sync by ``tests/test_dpt_pallas.py``); the probe's numerics
-    reference and timing baseline."""
+    reference and timing baseline. ``partial``: head-group weight shard,
+    projection only (same contract as ``fused_intra_attention``)."""
     M, n, S, B = x.shape
     h = n_heads
-    d = B // h
+    Bq = w_qkv.shape[1] // 3
+    d = Bq // h
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
@@ -213,8 +234,9 @@ def xla_intra_attention(x, gamma, beta, w_qkv, w_out, key_bias, *,
     if key_bias is not None:
         logits = logits + key_bias[None, :, None, None, :]
     w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    a = jnp.einsum("mnhqk,mnkhd->mnqhd", w, vh).reshape(M, n, S, B)
-    return x + a @ w_out.astype(x.dtype)
+    a = jnp.einsum("mnhqk,mnkhd->mnqhd", w, vh).reshape(M, n, S, Bq)
+    proj = a @ w_out.astype(x.dtype)
+    return proj if partial else x + proj
 
 
 # --------------------------------------------------------------------------

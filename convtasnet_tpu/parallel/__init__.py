@@ -5,3 +5,8 @@ from convtasnet_tpu.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from convtasnet_tpu.parallel.dpt_tp import (  # noqa: F401
+    dpt_tp_forward,
+    dpt_tp_variables,
+    ensure_probed_dpt_tp,
+)

@@ -57,6 +57,11 @@ def demote_pallas_for_model_parallel(
     partition over the data axis (tested in tests/test_parallel.py). A
     model axis of size 1 (the common 2-D mesh degenerate case) keeps the
     fused path.
+
+    This demotion applies to the GSPMD (jit + NamedSharding) entries
+    only; the explicit shard_map dual-path TP forward keeps the fused
+    kernels by running their partial variants per shard
+    (``parallel/dpt_tp.py``).
     """
     import dataclasses
 
@@ -241,13 +246,17 @@ def tp_forward(
 
     ``mixture [M, T]`` is sharded over ``data`` on the batch; the hidden
     dimension of every TCN block is sharded over ``model``. Batch size must
-    divide the data-axis size.
+    divide the data-axis size. The dual-path family routes to its own
+    shard_map (``dpt_tp.dpt_tp_forward``: head-group split, per-shard
+    fused kernels).
     """
+    if cfg.separator == "dpt":
+        from convtasnet_tpu.parallel.dpt_tp import dpt_tp_forward
+
+        return dpt_tp_forward(cfg, variables, mixture, mesh,
+                              model_axis=model_axis, data_axis=data_axis)
     if cfg.separator != "tcn":
-        raise ValueError(
-            "tp_forward implements the TCN hidden-dim shard_map; for the "
-            "dual-path family use make_sharded_train_step / jit with "
-            "param_partition_specs (GSPMD), or data parallelism")
+        raise ValueError(f"unsupported separator family: {cfg.separator}")
     specs = param_partition_specs(cfg, variables)
     fn = jax.shard_map(
         functools.partial(_tp_shard_forward, cfg, axis=model_axis),

@@ -1,0 +1,170 @@
+"""Tensor-parallel dual-path forward (parallel/dpt_tp): head-group split
+with per-shard fused kernels, vs the unsharded model on the virtual mesh.
+
+Covers the weight resharding (head-aligned q/k/v splits), the partial
+(projection-only) kernel contract, and full-forward parity under both the
+fused interpret path and the XLA fallback.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from convtasnet_tpu.config import ConvTasNetConfig
+from convtasnet_tpu.models.conv_tasnet import ConvTasNet, init_params
+from convtasnet_tpu.parallel.mesh import make_mesh
+from convtasnet_tpu.parallel.dpt_tp import (
+    _stack_qkv,
+    _stack_rows,
+    dpt_tp_forward,
+    dpt_tp_variables,
+)
+
+DPT = dict(separator="dpt", n_filters=16, kernel_size=8, bottleneck=64,
+           dpt_chunk=16, dpt_layers=2, dpt_ff=128, dpt_heads=4,
+           num_speakers=2)
+
+
+def test_stack_qkv_head_aligned():
+    """Shard i's local qkv must hold q|k|v columns of head group i —
+    not a contiguous slice of the concatenated [B, 3B] matrix."""
+    B, m = 8, 2
+    w = jnp.arange(B * 3 * B, dtype=jnp.float32).reshape(B, 3 * B)
+    stacked = _stack_qkv(w, m)
+    assert stacked.shape == (m, B, 3 * B // m)
+    q, k, v = jnp.split(w, 3, axis=1)
+    Bl = B // m
+    for i in range(m):
+        want = jnp.concatenate(
+            [q[:, i * Bl:(i + 1) * Bl], k[:, i * Bl:(i + 1) * Bl],
+             v[:, i * Bl:(i + 1) * Bl]], axis=1)
+        np.testing.assert_array_equal(np.asarray(stacked[i]),
+                                      np.asarray(want))
+
+
+def test_partial_attention_combines_to_full():
+    """Sum of per-head-group partial projections + residual == the full
+    sublayer, for both fused (interpret) and XLA partial paths."""
+    from convtasnet_tpu.ops.pallas.dpt_intra import (
+        fused_intra_attention,
+        xla_intra_attention,
+    )
+
+    rng = np.random.default_rng(0)
+    M, n, S, B, h, m = 2, 3, 16, 64, 4, 2
+    x = jnp.asarray(rng.standard_normal((M, n, S, B)), jnp.float32)
+    gamma = jnp.asarray(rng.standard_normal(B), jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(B), jnp.float32)
+    w_qkv = jnp.asarray(rng.standard_normal((B, 3 * B)) / 8, jnp.float32)
+    w_out = jnp.asarray(rng.standard_normal((B, B)) / 8, jnp.float32)
+    bias = jnp.where(jnp.arange(n * S).reshape(n, S) < n * S - 5,
+                     0.0, -1e9).astype(jnp.float32)
+
+    full = xla_intra_attention(x, gamma, beta, w_qkv, w_out, bias,
+                               n_heads=h)
+    qkv_sh = _stack_qkv(w_qkv, m)
+    out_sh = _stack_rows(w_out, m)
+    acc = jnp.zeros_like(x)
+    for i in range(m):
+        acc = acc + xla_intra_attention(
+            x, gamma, beta, qkv_sh[i], out_sh[i], bias,
+            n_heads=h // m, partial=True)
+    np.testing.assert_allclose(np.asarray(x + acc), np.asarray(full),
+                               rtol=1e-4, atol=1e-4)
+
+    # fused partial (interpret) matches the XLA partial shard-for-shard
+    for i in range(m):
+        got = fused_intra_attention(
+            x, gamma, beta, qkv_sh[i], out_sh[i], bias,
+            n_heads=h // m, interpret=True, partial=True)
+        want = xla_intra_attention(
+            x, gamma, beta, qkv_sh[i], out_sh[i], bias,
+            n_heads=h // m, partial=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_partial_inter_and_ffn_combine_to_full():
+    from convtasnet_tpu.ops.pallas.dpt_attention import xla_inter_attention
+    from convtasnet_tpu.ops.pallas.dpt_ffn import xla_ffn
+    from convtasnet_tpu.parallel.dpt_tp import _stack_cols
+
+    rng = np.random.default_rng(1)
+    M, n, S, B, h, m, F = 2, 3, 16, 64, 4, 4, 128
+    x = jnp.asarray(rng.standard_normal((M, n, S, B)), jnp.float32)
+    gamma = jnp.ones((B,), jnp.float32)
+    beta = jnp.zeros((B,), jnp.float32)
+    w_qkv = jnp.asarray(rng.standard_normal((B, 3 * B)) / 8, jnp.float32)
+    w_out = jnp.asarray(rng.standard_normal((B, B)) / 8, jnp.float32)
+    bias = jnp.zeros((n, S), jnp.float32)
+    full = xla_inter_attention(x, gamma, beta, w_qkv, w_out, bias,
+                               n_heads=h)
+    qkv_sh = _stack_qkv(w_qkv, m)
+    out_sh = _stack_rows(w_out, m)
+    acc = jnp.zeros_like(x)
+    for i in range(m):
+        acc = acc + xla_inter_attention(
+            x, gamma, beta, qkv_sh[i], out_sh[i], bias,
+            n_heads=h // m, partial=True)
+    np.testing.assert_allclose(np.asarray(x + acc), np.asarray(full),
+                               rtol=1e-4, atol=1e-4)
+
+    x3 = x.reshape(M, n * S, B)
+    w_up = jnp.asarray(rng.standard_normal((B, F)) / 8, jnp.float32)
+    b_up = jnp.asarray(rng.standard_normal(F) * 0.1, jnp.float32)
+    w_dn = jnp.asarray(rng.standard_normal((F, B)) / 11, jnp.float32)
+    b_dn = jnp.asarray(rng.standard_normal(B) * 0.1, jnp.float32)
+    full = xla_ffn(x3, gamma, beta, w_up, b_up, w_dn, b_dn)
+    up_sh, bup_sh = _stack_cols(w_up, m), jnp.stack(jnp.split(b_up, m))
+    dn_sh = _stack_rows(w_dn, m)
+    acc = jnp.zeros_like(x3)
+    for i in range(m):
+        acc = acc + xla_ffn(x3, gamma, beta, up_sh[i], bup_sh[i],
+                            dn_sh[i], b_dn, partial=True)
+    np.testing.assert_allclose(np.asarray(x3 + acc + b_dn),
+                               np.asarray(full), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("n_data,n_model", [(2, 4), (4, 2)])
+def test_dpt_tp_matches_unsharded(n_data, n_model):
+    cfg = ConvTasNetConfig(**DPT)
+    T = 1600
+    variables = init_params(cfg, jax.random.PRNGKey(0), example_len=T)
+    mix = jax.random.normal(jax.random.PRNGKey(1), (4, T))
+    want = np.asarray(ConvTasNet(cfg).apply(variables, mix, train=False))
+
+    mesh = make_mesh(n_data=n_data, n_model=n_model)
+    got = np.asarray(dpt_tp_forward(cfg, variables, mix, mesh))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_dpt_tp_xla_fallback_matches():
+    cfg = ConvTasNetConfig(**DPT, use_pallas=False)
+    T = 1200
+    variables = init_params(cfg, jax.random.PRNGKey(0), example_len=T)
+    mix = jax.random.normal(jax.random.PRNGKey(2), (2, T))
+    want = np.asarray(ConvTasNet(cfg).apply(variables, mix, train=False))
+    mesh = make_mesh(n_data=2, n_model=4)
+    got = np.asarray(dpt_tp_forward(cfg, variables, mix, mesh))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_dpt_tp_degenerate_model_axis():
+    """model=1: full-width 'shards', psum over a singleton axis."""
+    cfg = ConvTasNetConfig(**DPT)
+    T = 800
+    variables = init_params(cfg, jax.random.PRNGKey(0), example_len=T)
+    mix = jax.random.normal(jax.random.PRNGKey(3), (8, T))
+    want = np.asarray(ConvTasNet(cfg).apply(variables, mix, train=False))
+    mesh = make_mesh(n_data=8, n_model=1)
+    got = np.asarray(dpt_tp_forward(cfg, variables, mix, mesh))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_dpt_tp_rejects_misaligned_split():
+    cfg = ConvTasNetConfig(**DPT)  # 4 heads
+    variables = init_params(cfg, jax.random.PRNGKey(0), example_len=800)
+    with pytest.raises(ValueError, match="head-aligned"):
+        dpt_tp_variables(cfg, variables, 8)

@@ -143,18 +143,13 @@ def test_checkpoint_roundtrip_dpt(tmp_path):
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
 
 
-def test_streaming_and_sp_tp_reject_dpt():
+def test_streaming_rejects_dpt():
+    # (tp_forward used to reject dpt too; it now routes to the dual-path
+    # shard_map TP — parity covered by tests/test_dpt_tp.py)
     from convtasnet_tpu.models.streaming import init_stream_state
 
     with pytest.raises(ValueError, match="TCN separator only"):
         init_stream_state(_cfg(causal=True, norm_type="cLN"), 1)
-
-    from convtasnet_tpu.parallel.mesh import make_mesh
-    from convtasnet_tpu.parallel.tensor_parallel import tp_forward
-
-    with pytest.raises(ValueError, match="GSPMD"):
-        tp_forward(_cfg(), {"params": {}},
-                   jnp.zeros((2, 100)), make_mesh(n_data=4, n_model=2))
 
 
 def test_tensor_parallel_train_step_dpt():
