@@ -578,6 +578,13 @@ def dpt_tp_forward(
         raise ValueError("dpt_tp_forward is the dual-path TP shard_map; "
                          "for the TCN use tensor_parallel.tp_forward")
     n_model = int(dict(mesh.shape).get(model_axis, 1))
+    n_data = int(dict(mesh.shape).get(data_axis, 1))
+    if n_model > 1:
+        # populate the partial-kernel registries for the per-shard shape
+        # (idempotent; no-op on CPU / with use_pallas off)
+        ensure_probed_dpt_tp(cfg, n_model,
+                             max(1, mixture.shape[0] // n_data),
+                             mixture.shape[-1])
     tpv = dpt_tp_variables(cfg, variables, max(n_model, 1))
     specs = _tp_var_specs(cfg, tpv, model_axis)
     fn = jax.shard_map(
