@@ -290,7 +290,8 @@ def cmd_separate(a) -> int:
                  sequence_parallel=bool(getattr(a, "sequence_parallel", 0)),
                  ring_attention=bool(getattr(a, "ring_attention", 0)),
                  use_pallas=None if up < 0 else bool(up),
-                 batch_chunk=getattr(a, "batch_chunk", 8))
+                 batch_chunk=getattr(a, "batch_chunk", 8),
+                 tensor_parallel=getattr(a, "tensor_parallel", 0))
     print(f"separated {n} utterances into {a.out_dir}")
     return 0
 
@@ -466,6 +467,11 @@ def main(argv=None) -> int:
     p.add_argument("--batch-chunk", type=int, default=8,
                    help="rows per lax.map slice of the forward (0 = whole "
                         "batch); keeps activations VMEM-resident")
+    p.add_argument("--tensor-parallel", type=int, default=0,
+                   help="model-axis size m > 1: serve over a (data x "
+                        "model) mesh — TCN hidden dim / dual-path head "
+                        "groups Megatron-split, fused kernels per shard "
+                        "for dpt (parallel/dpt_tp.py)")
     p.set_defaults(fn=cmd_separate)
 
     p = sub.add_parser("stream-demo",

@@ -42,6 +42,7 @@ def separate(
     ring_attention: bool = False,
     use_pallas: Optional[bool] = None,
     batch_chunk: int = 8,
+    tensor_parallel: int = 0,
 ) -> int:
     """Separate every mixture; returns the number of utterances written.
 
@@ -55,6 +56,12 @@ def separate(
     low-latency deployment path (``models/streaming.py``), exercised here
     offline for functional parity.
 
+    ``tensor_parallel=m > 1`` serves over a 2-D (data x model) mesh: the
+    batch shards over ``data`` and the separator's channels/heads
+    Megatron-split over a ``model`` axis of size ``m`` — the TCN through
+    ``tensor_parallel.tp_forward``, the dual-path family through the
+    fused-kernel shard_map (``parallel/dpt_tp.py``).
+
     ``use_pallas=None`` auto-enables the fused TCN kernels on a real
     accelerator backend (batch path only; probe-gated per dilation).
     """
@@ -66,6 +73,13 @@ def separate(
         return _separate_sequence_parallel(cfg, variables, out_dir, mix_dir,
                                            mix_json, sample_rate, write_mix,
                                            ring_attention=ring_attention)
+    if tensor_parallel > 1:
+        from convtasnet_tpu.infer.evaluate import _maybe_enable_pallas
+
+        return _separate_tensor_parallel(
+            _maybe_enable_pallas(cfg, use_pallas), variables, out_dir,
+            mix_dir, mix_json, sample_rate, write_mix, batch_size,
+            pad_to_multiple, tensor_parallel)
     from convtasnet_tpu.infer.evaluate import _maybe_enable_pallas
 
     cfg = _maybe_enable_pallas(cfg, use_pallas)
@@ -142,6 +156,48 @@ def _separate_streaming(cfg, variables, out_dir, mix_dir, mix_json,
             write_wav(os.path.join(out_dir, f"{stem}_s{c + 1}.wav"),
                       est[c], sample_rate)
         n_written += 1
+    return n_written
+
+
+def _separate_tensor_parallel(cfg, variables, out_dir, mix_dir, mix_json,
+                              sample_rate, write_mix, batch_size,
+                              pad_to_multiple, n_model) -> int:
+    """Model-parallel serving over a (data x model) mesh: batch rows pad
+    up to a data-axis multiple (replicating the last row; extras are
+    dropped on the host), the separator Megatron-splits over ``model``
+    (``tp_forward``: TCN hidden dim / dual-path head groups with the
+    fused partial kernels)."""
+    from convtasnet_tpu.parallel.mesh import make_mesh
+    from convtasnet_tpu.parallel.tensor_parallel import tp_forward
+
+    mesh = make_mesh(n_data=-1, n_model=n_model)
+    n_data = int(dict(mesh.shape)["data"])
+    ds = EvalDataset(mix_dir=mix_dir, mix_json=mix_json,
+                     batch_size=batch_size, sample_rate=sample_rate)
+    os.makedirs(out_dir, exist_ok=True)
+    n_written = 0
+    for bi in range(len(ds)):
+        mixture, lengths, names = ds.load_batch(
+            bi, pad_to_multiple=pad_to_multiple)
+        rows = mixture.shape[0]
+        rows_p = -(-rows // n_data) * n_data
+        if rows_p != rows:
+            mixture = np.concatenate(
+                [mixture, np.repeat(mixture[-1:], rows_p - rows, axis=0)],
+                axis=0)
+        est = np.asarray(jax.device_get(
+            tp_forward(cfg, variables, jnp.asarray(mixture), mesh)))[:rows]
+        est_list = remove_pad(est, lengths)
+        mix_list = remove_pad(mixture[:rows], lengths)
+        for b, name in enumerate(names):
+            stem = os.path.splitext(os.path.basename(name))[0]
+            if write_mix:
+                write_wav(os.path.join(out_dir, stem + ".wav"),
+                          mix_list[b], sample_rate)
+            for c in range(cfg.num_speakers):
+                write_wav(os.path.join(out_dir, f"{stem}_s{c + 1}.wav"),
+                          est_list[b][c], sample_rate)
+            n_written += 1
     return n_written
 
 

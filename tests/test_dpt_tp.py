@@ -168,3 +168,63 @@ def test_dpt_tp_rejects_misaligned_split():
     variables = init_params(cfg, jax.random.PRNGKey(0), example_len=800)
     with pytest.raises(ValueError, match="head-aligned"):
         dpt_tp_variables(cfg, variables, 8)
+
+
+def test_separate_tensor_parallel_cli(tmp_path):
+    """Model-parallel serving through the public separate() API (dpt
+    routes to the fused-kernel shard_map; output matches the plain
+    batched path). Batch 3 on a data axis of 4 exercises the row
+    padding."""
+    import os
+    from convtasnet_tpu.data.audio_io import read_wav, write_wav
+    from convtasnet_tpu.infer.separate import separate
+    from convtasnet_tpu.train.checkpoint import save_checkpoint
+
+    cfg = ConvTasNetConfig(**DPT)
+    variables = init_params(cfg, jax.random.PRNGKey(0), example_len=8000)
+    ckpt = str(tmp_path / "m.ckpt")
+    save_checkpoint(ckpt, {"params": variables["params"], "batch_stats": {}},
+                    cfg, epoch=0)
+    mix_dir = tmp_path / "mix"
+    os.makedirs(mix_dir)
+    rng = np.random.default_rng(2)
+    for i in range(3):
+        write_wav(str(mix_dir / f"u{i}.wav"),
+                  0.3 * rng.standard_normal(12000).astype(np.float32), 8000)
+    out_tp = str(tmp_path / "out_tp")
+    n = separate(ckpt, out_tp, mix_dir=str(mix_dir), batch_size=3,
+                 tensor_parallel=2)
+    assert n == 3
+    out_ref = str(tmp_path / "out_ref")
+    assert separate(ckpt, out_ref, mix_dir=str(mix_dir), batch_size=3,
+                    use_pallas=False) == 3
+    for i in range(3):
+        for c in (1, 2):
+            got, _ = read_wav(os.path.join(out_tp, f"u{i}_s{c}.wav"))
+            want, _ = read_wav(os.path.join(out_ref, f"u{i}_s{c}.wav"))
+            np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_separate_tensor_parallel_tcn(tmp_path):
+    """--tensor-parallel also serves the TCN family (hidden-dim split)."""
+    import os
+    from convtasnet_tpu.data.audio_io import write_wav
+    from convtasnet_tpu.infer.separate import separate
+    from convtasnet_tpu.train.checkpoint import save_checkpoint
+
+    cfg = ConvTasNetConfig(n_filters=16, kernel_size=8, bottleneck=12,
+                           hidden=32, conv_kernel=3, num_blocks=2,
+                           num_repeats=2, num_speakers=2)
+    variables = init_params(cfg, jax.random.PRNGKey(0), example_len=8000)
+    ckpt = str(tmp_path / "m.ckpt")
+    save_checkpoint(ckpt, {"params": variables["params"], "batch_stats": {}},
+                    cfg, epoch=0)
+    mix_dir = tmp_path / "mix"
+    os.makedirs(mix_dir)
+    rng = np.random.default_rng(3)
+    write_wav(str(mix_dir / "u.wav"),
+              0.3 * rng.standard_normal(8000).astype(np.float32), 8000)
+    out = str(tmp_path / "out")
+    assert separate(ckpt, out, mix_dir=str(mix_dir),
+                    tensor_parallel=4) == 1
+    assert os.path.exists(os.path.join(out, "u_s2.wav"))
