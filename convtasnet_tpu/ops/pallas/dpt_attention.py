@@ -44,6 +44,19 @@ NEG_INF = -1e9
 _EPS = 1e-6
 
 
+def _out_vma(*args):
+    """Varying-mesh-axes set for ``pallas_call`` outputs when tracing
+    inside a vma-checked ``shard_map`` (the TP train step): outputs vary
+    over the union of the inputs' varying axes. Returns None outside such
+    contexts (plain jit / eager / ``check_vma=False`` shard_maps), which
+    keeps the default behavior."""
+    try:
+        s = frozenset().union(*(jax.typeof(a).vma for a in args))
+        return s if s else None
+    except Exception:  # noqa: BLE001 — older tracers without vma
+        return None
+
+
 def _inter_kernel(x_ref, wqkv_ref, wout_ref, aff_ref, bias_ref, o_ref,
                   scores_ref, *, n_heads: int, partial: bool = False):
     """One (batch row, position tile): fused pre-LN + MHA over chunks.
@@ -199,7 +212,8 @@ def fused_inter_attention(
         ],
         out_specs=pl.BlockSpec((1, n, st, B), lambda m, s: (m, 0, s, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, n, S, B), cdtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (M, n, S, B), cdtype, vma=_out_vma(x, w_qkv, w_out)),
         scratch_shapes=[pltpu.VMEM((n, n, n_heads, st), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -254,7 +268,8 @@ def xla_inter_attention(x, gamma, beta, w_qkv, w_out, key_bias, *,
 
 def _inter_bwd_kernel(x_ref, g_ref, wqkv_ref, wout_ref, aff_ref, bias_ref,
                       dx_ref, dwqkv_ref, dwout_ref, dgb_ref,
-                      p_ref, ds_ref, dqkv_t_ref, *, n_heads: int):
+                      p_ref, ds_ref, dqkv_t_ref, *, n_heads: int,
+                      partial: bool = False):
     """Backward of ``_inter_kernel`` for one (batch row, position tile).
 
     ``x`` is the only residual: the forward intermediates (LN, QKV,
@@ -264,15 +279,20 @@ def _inter_bwd_kernel(x_ref, g_ref, wqkv_ref, wout_ref, aff_ref, bias_ref,
     constant-index f32 output blocks (initialized at the first step),
     the same discipline as ``tcn_block_bwd``.
 
-    dx_ref:     [1, n, st, B]; dwqkv_ref: [B, 3B] f32; dwout_ref: [B, B]
-    f32; dgb_ref: [2, B] f32 (dgamma, dbeta).
+    dx_ref:     [1, n, st, B]; dwqkv_ref: [B, 3*Bq] f32; dwout_ref:
+    [Bq, B] f32; dgb_ref: [2, B] f32 (dgamma, dbeta).
     p_ref/ds_ref: [n, n, h, st] f32 scratch (probs / score cotangents);
-    dqkv_t_ref: [n, 3B, st] compute-dtype scratch (dq|dk|dv, transposed
+    dqkv_t_ref: [n, 3*Bq, st] compute-dtype scratch (dq|dk|dv, transposed
     layout).
+
+    ``partial=True`` is the backward of the ``partial`` forward
+    (projection-only, head-group weight shard): ``dx`` omits the residual
+    passthrough term.
     """
     _, n, st, B = x_ref.shape
+    Bq = wqkv_ref.shape[1] // 3
     h = n_heads
-    d = B // h
+    d = Bq // h
     cdtype = x_ref.dtype
 
     # ---- recompute the forward intermediates ----
@@ -286,10 +306,10 @@ def _inter_bwd_kernel(x_ref, g_ref, wqkv_ref, wout_ref, aff_ref, bias_ref,
     y2 = y.reshape(n * st, B)
     qkv = jnp.dot(y2, wqkv_ref[:],
                   preferred_element_type=jnp.float32).astype(cdtype)
-    qkv = qkv.reshape(n, st, 3 * B)
-    q = jnp.swapaxes(qkv[:, :, 0 * B:1 * B], 1, 2)          # [n, B, st]
-    k = jnp.swapaxes(qkv[:, :, 1 * B:2 * B], 1, 2)
-    v = jnp.swapaxes(qkv[:, :, 2 * B:3 * B], 1, 2)
+    qkv = qkv.reshape(n, st, 3 * Bq)
+    q = jnp.swapaxes(qkv[:, :, 0 * Bq:1 * Bq], 1, 2)        # [n, Bq, st]
+    k = jnp.swapaxes(qkv[:, :, 1 * Bq:2 * Bq], 1, 2)
+    v = jnp.swapaxes(qkv[:, :, 2 * Bq:3 * Bq], 1, 2)
     scale = 1.0 / float(np.sqrt(d))
     for kk in range(n):
         k_kk = jax.lax.slice_in_dim(k, kk, kk + 1, axis=0)
@@ -314,16 +334,16 @@ def _inter_bwd_kernel(x_ref, g_ref, wqkv_ref, wout_ref, aff_ref, bias_ref,
         v_kk = jax.lax.slice_in_dim(v, kk, kk + 1, axis=0)
         acc = acc + (w_kk.reshape(n, h, 1, st).astype(jnp.float32)
                      * v_kk.reshape(1, h, d, st).astype(jnp.float32))
-    a2 = jnp.swapaxes(acc.reshape(n, B, st).astype(cdtype),
-                      1, 2).reshape(n * st, B)
+    a2 = jnp.swapaxes(acc.reshape(n, Bq, st).astype(cdtype),
+                      1, 2).reshape(n * st, Bq)
     dwout_acc = jax.lax.dot_general(
         a2, g2, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # [B, B]
+        preferred_element_type=jnp.float32)                 # [Bq, B]
     # dA = g @ Wout^T, then to the transposed attention layout
     dA = jax.lax.dot_general(
         g2, wout_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32).astype(cdtype)
-    dA_t = jnp.swapaxes(dA.reshape(n, st, B), 1, 2)         # [n, B, st]
+    dA_t = jnp.swapaxes(dA.reshape(n, st, Bq), 1, 2)        # [n, Bq, st]
 
     # dp[q,k] = sum_d dA'[q] . v[k];  dv[k] = sum_q p[q,k] dA'[q]
     dA_t4 = dA_t.reshape(n, h, d, st).astype(jnp.float32)
@@ -334,7 +354,8 @@ def _inter_bwd_kernel(x_ref, g_ref, wqkv_ref, wout_ref, aff_ref, bias_ref,
         p_kk = jax.lax.slice_in_dim(pc, kk, kk + 1, axis=1)  # [n,1,h,st]
         dv_k = jnp.sum(
             p_kk.reshape(n, h, 1, st).astype(jnp.float32) * dA_t4, axis=0)
-        dqkv_t_ref[kk, 2 * B:3 * B, :] = dv_k.reshape(B, st).astype(cdtype)
+        dqkv_t_ref[kk, 2 * Bq:3 * Bq, :] = dv_k.reshape(
+            Bq, st).astype(cdtype)
     # softmax backward (score scale folded in once)
     dp = ds_ref[:]
     p = p_ref[:]
@@ -351,13 +372,15 @@ def _inter_bwd_kernel(x_ref, g_ref, wqkv_ref, wout_ref, aff_ref, bias_ref,
         dq_acc = dq_acc + ds_kk * k_kk.reshape(1, h, d, st).astype(
             jnp.float32)
         dk_k = jnp.sum(ds_kk * q4, axis=0)                  # [h, d, st]
-        dqkv_t_ref[kk, 1 * B:2 * B, :] = dk_k.reshape(B, st).astype(cdtype)
-    dqkv_t_ref[:, 0 * B:1 * B, :] = dq_acc.reshape(n, B, st).astype(cdtype)
+        dqkv_t_ref[kk, 1 * Bq:2 * Bq, :] = dk_k.reshape(
+            Bq, st).astype(cdtype)
+    dqkv_t_ref[:, 0 * Bq:1 * Bq, :] = dq_acc.reshape(
+        n, Bq, st).astype(cdtype)
 
-    dqkv2 = jnp.swapaxes(dqkv_t_ref[:], 1, 2).reshape(n * st, 3 * B)
+    dqkv2 = jnp.swapaxes(dqkv_t_ref[:], 1, 2).reshape(n * st, 3 * Bq)
     dwqkv_acc = jax.lax.dot_general(
         y2, dqkv2, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # [B, 3B]
+        preferred_element_type=jnp.float32)                 # [B, 3Bq]
     dy = jax.lax.dot_general(
         dqkv2, wqkv_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                 # [n*st, B] f32
@@ -369,7 +392,10 @@ def _inter_bwd_kernel(x_ref, g_ref, wqkv_ref, wout_ref, aff_ref, bias_ref,
     mean_d = jnp.mean(dxhat, axis=-1, keepdims=True)
     mean_xd = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     dx_ln = r * (dxhat - mean_d - xhat * mean_xd)
-    dx_ref[0] = (gt.astype(jnp.float32) + dx_ln).astype(cdtype)
+    if partial:  # no residual passthrough in the partial forward
+        dx_ref[0] = dx_ln.astype(cdtype)
+    else:
+        dx_ref[0] = (gt.astype(jnp.float32) + dx_ln).astype(cdtype)
 
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
     dgb = jnp.concatenate([dgamma, dbeta], axis=0)          # [2, B]
@@ -397,10 +423,13 @@ def fused_inter_attention_bwd(
     n_heads: int,
     s_tile: Optional[int] = None,
     interpret: bool = False,
+    partial: bool = False,
 ):
     """Single-kernel backward of the fused inter sublayer. Returns
-    ``(dx, dgamma, dbeta, dw_qkv, dw_out)`` in the primals' dtypes."""
+    ``(dx, dgamma, dbeta, dw_qkv, dw_out)`` in the primals' dtypes.
+    ``partial``: backward of the partial (head-group shard) forward."""
     M, n, S, B = x.shape
+    Bq = w_qkv.shape[1] // 3
     st = int(s_tile) if s_tile else _pick_s_tile(n, S, n_heads)
     cdtype = x.dtype
     aff = jnp.stack([gamma.astype(jnp.float32), beta.astype(jnp.float32)])
@@ -408,20 +437,21 @@ def fused_inter_attention_bwd(
         key_bias = jnp.zeros((n, S), jnp.float32)
     bias_t = jnp.transpose(
         key_bias.astype(jnp.float32).reshape(n, S // st, st), (1, 0, 2))
-    flops = (2 * M * n * S * B * 3 * B * 3      # qkv fwd + dWqkv + dy
-             + 2 * M * n * S * B * B * 3        # out fwd + dWout + dA
-             + 4 * M * n * n * S * B * 3)       # attention fwd + bwd
+    flops = (2 * M * n * S * B * 3 * Bq * 3     # qkv fwd + dWqkv + dy
+             + 2 * M * n * S * Bq * B * 3       # out fwd + dWout + dA
+             + 4 * M * n * n * S * Bq * 3)      # attention fwd + bwd
     dx, dwqkv, dwout, dgb = pl.pallas_call(
-        functools.partial(_inter_bwd_kernel, n_heads=n_heads),
+        functools.partial(_inter_bwd_kernel, n_heads=n_heads,
+                          partial=partial),
         grid=(M, S // st),
         in_specs=[
             pl.BlockSpec((1, n, st, B), lambda m, s: (m, 0, s, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, st, B), lambda m, s: (m, 0, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 3 * B), lambda m, s: (0, 0),
+            pl.BlockSpec((B, 3 * Bq), lambda m, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, B), lambda m, s: (0, 0),
+            pl.BlockSpec((Bq, B), lambda m, s: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, B), lambda m, s: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -431,23 +461,24 @@ def fused_inter_attention_bwd(
         out_specs=(
             pl.BlockSpec((1, n, st, B), lambda m, s: (m, 0, s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 3 * B), lambda m, s: (0, 0),
+            pl.BlockSpec((B, 3 * Bq), lambda m, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, B), lambda m, s: (0, 0),
+            pl.BlockSpec((Bq, B), lambda m, s: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, B), lambda m, s: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((M, n, S, B), cdtype),
-            jax.ShapeDtypeStruct((B, 3 * B), jnp.float32),
-            jax.ShapeDtypeStruct((B, B), jnp.float32),
-            jax.ShapeDtypeStruct((2, B), jnp.float32),
-        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(sh, dt_, vma=_out_vma(x, g, w_qkv,
+                                                       w_out))
+            for sh, dt_ in (((M, n, S, B), cdtype),
+                            ((B, 3 * Bq), jnp.float32),
+                            ((Bq, B), jnp.float32),
+                            ((2, B), jnp.float32))),
         scratch_shapes=[
             pltpu.VMEM((n, n, n_heads, st), jnp.float32),
             pltpu.VMEM((n, n, n_heads, st), jnp.float32),
-            pltpu.VMEM((n, 3 * B, st), cdtype),
+            pltpu.VMEM((n, 3 * Bq, st), cdtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -463,10 +494,10 @@ def fused_inter_attention_bwd(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_inter_ad(static, x, gamma, beta, w_qkv, w_out, key_bias):
-    n_heads, s_tile, _, interpret = static
+    n_heads, s_tile, _, interpret, partial = static
     return fused_inter_attention(x, gamma, beta, w_qkv, w_out, key_bias,
                                  n_heads=n_heads, s_tile=s_tile,
-                                 interpret=interpret)
+                                 interpret=interpret, partial=partial)
 
 
 def _fused_inter_fwd(static, *args):
@@ -476,15 +507,17 @@ def _fused_inter_fwd(static, *args):
 
 
 def _fused_inter_bwd(static, residuals, g):
-    n_heads, s_tile, bwd, interpret = static
+    n_heads, s_tile, bwd, interpret, partial = static
     if bwd:
         x, gamma, beta, w_qkv, w_out, key_bias = residuals
         dx, dgamma, dbeta, dwqkv, dwout = fused_inter_attention_bwd(
             x, g, gamma, beta, w_qkv, w_out, key_bias,
-            n_heads=n_heads, s_tile=s_tile, interpret=interpret)
+            n_heads=n_heads, s_tile=s_tile, interpret=interpret,
+            partial=partial)
         return dx, dgamma, dbeta, dwqkv, dwout, jnp.zeros_like(residuals[5])
     _, vjp = jax.vjp(
-        lambda *a: xla_inter_attention(*a, n_heads=n_heads), *residuals)
+        lambda *a: xla_inter_attention(*a, n_heads=n_heads,
+                                       partial=partial), *residuals)
     return vjp(g)
 
 
@@ -497,15 +530,18 @@ def fused_inter_attention_ad(
     s_tile: Optional[int] = None,
     bwd: bool = True,
     interpret: bool = False,
+    partial: bool = False,
 ):
     """Differentiable fused inter sublayer: Pallas forward + selectable
     backward — the single-kernel fused backward (``bwd=True``) or XLA
     rematerialize-and-autodiff (``bwd=False``). Safe under ``jax.grad``;
-    use ``fused_inter_train_ready`` to pick it safely on a real backend."""
+    use ``fused_inter_train_ready`` to pick it safely on a real backend.
+    ``partial``: tensor-parallel head-group shard (see
+    ``fused_inter_attention``)."""
     if key_bias is None:
         M, n, S, B = x.shape
         key_bias = jnp.zeros((n, S), jnp.float32)
-    static = (n_heads, s_tile, bool(bwd), interpret)
+    static = (n_heads, s_tile, bool(bwd), interpret, bool(partial))
     return _fused_inter_ad(static, x, gamma, beta, w_qkv, w_out, key_bias)
 
 

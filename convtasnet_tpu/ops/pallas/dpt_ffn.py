@@ -32,6 +32,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from convtasnet_tpu.ops.pallas.dpt_attention import _out_vma
+
 _EPS = 1e-6
 
 
@@ -143,7 +145,8 @@ def fused_ffn(
         ],
         out_specs=pl.BlockSpec((1, kt, B), lambda m, s: (m, s, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, Kp, B), cdtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (M, Kp, B), cdtype, vma=_out_vma(x, w_up, w_down)),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(2 * M * Kp * B * jnp.dtype(cdtype).itemsize
@@ -180,7 +183,8 @@ def _gelu_and_grad(x):
 
 
 def _ffn_bwd_kernel(x_ref, g_ref, wup_ref, wdn_ref, bias_ref, aff_ref,
-                    dx_ref, dwup_ref, dwdn_ref, dbias_ref, dgb_ref):
+                    dx_ref, dwup_ref, dwdn_ref, dbias_ref, dgb_ref, *,
+                    partial: bool = False):
     """Backward of ``_ffn_kernel`` for one (batch row, position tile).
 
     ``x`` is the only residual: LN, the up projection, and the GELU are
@@ -192,6 +196,10 @@ def _ffn_bwd_kernel(x_ref, g_ref, wup_ref, wdn_ref, bias_ref, aff_ref,
 
     dx_ref: [1, kt, B]; dwup_ref: [B, F] f32; dwdn_ref: [F, B] f32;
     dbias_ref: [2, max(F, B)] f32 (dbup / dbdn); dgb_ref: [2, B] f32.
+
+    ``partial=True`` is the backward of the ``partial`` forward (down
+    projection only): ``dx`` omits the residual passthrough term and the
+    down-bias grad is zero (the caller added residual and bias outside).
     """
     _, kt, B = x_ref.shape
     F = wup_ref.shape[1]
@@ -216,7 +224,11 @@ def _ffn_bwd_kernel(x_ref, g_ref, wup_ref, wdn_ref, bias_ref, aff_ref,
     dwdn_acc = jax.lax.dot_general(
         h, g, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                 # [F, B]
-    dbdn = jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)  # [1, B]
+    if partial:  # forward added no down bias: its grad is zero
+        dbdn = jnp.zeros((1, B), jnp.float32)
+    else:
+        dbdn = jnp.sum(g.astype(jnp.float32), axis=0,
+                       keepdims=True)                       # [1, B]
     dh = jax.lax.dot_general(
         g, wdn_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                 # [kt, F] f32
@@ -235,7 +247,10 @@ def _ffn_bwd_kernel(x_ref, g_ref, wup_ref, wdn_ref, bias_ref, aff_ref,
     mean_d = jnp.mean(dxhat, axis=-1, keepdims=True)
     mean_xd = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     dx_ln = r * (dxhat - mean_d - xhat * mean_xd)
-    dx_ref[0] = (g.astype(jnp.float32) + dx_ln).astype(cdtype)
+    if partial:  # no residual passthrough in the partial forward
+        dx_ref[0] = dx_ln.astype(cdtype)
+    else:
+        dx_ref[0] = (g.astype(jnp.float32) + dx_ln).astype(cdtype)
 
     W = dbias_ref.shape[1]
     dbias = jnp.zeros((2, W), jnp.float32)
@@ -268,10 +283,12 @@ def fused_ffn_bwd(
     *,
     k_tile: Optional[int] = None,
     interpret: bool = False,
+    partial: bool = False,
 ):
     """Single-kernel backward of the fused FFN sublayer. Returns
     ``(dx, dgamma, dbeta, dw_up, db_up, dw_down, db_down)`` in the
-    primals' dtypes."""
+    primals' dtypes. ``partial``: backward of the partial forward (see
+    ``fused_ffn``; ``db_down`` comes back zero)."""
     M, Kp, B = x.shape
     F = w_up.shape[1]
     kt = int(k_tile) if k_tile else _pick_k_tile(Kp, B, F)
@@ -283,7 +300,7 @@ def fused_ffn_bwd(
     bias = bias.at[1, :B].set(b_down.astype(jnp.float32))
     flops = 2 * M * Kp * B * F * 2 * 3   # fwd recompute + dW + dactivation
     dx, dwup, dwdn, dbias, dgb = pl.pallas_call(
-        _ffn_bwd_kernel,
+        functools.partial(_ffn_bwd_kernel, partial=partial),
         grid=(M, Kp // kt),
         in_specs=[
             pl.BlockSpec((1, kt, B), lambda m, s: (m, s, 0),
@@ -311,13 +328,14 @@ def fused_ffn_bwd(
             pl.BlockSpec((2, B), lambda m, s: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((M, Kp, B), cdtype),
-            jax.ShapeDtypeStruct((B, F), jnp.float32),
-            jax.ShapeDtypeStruct((F, B), jnp.float32),
-            jax.ShapeDtypeStruct((2, W), jnp.float32),
-            jax.ShapeDtypeStruct((2, B), jnp.float32),
-        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(sh, dt_, vma=_out_vma(x, g, w_up,
+                                                       w_down))
+            for sh, dt_ in (((M, Kp, B), cdtype),
+                            ((B, F), jnp.float32),
+                            ((F, B), jnp.float32),
+                            ((2, W), jnp.float32),
+                            ((2, B), jnp.float32))),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=3 * M * Kp * B * jnp.dtype(cdtype).itemsize,
@@ -334,9 +352,9 @@ def fused_ffn_bwd(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_ffn_ad(static, x, gamma, beta, w_up, b_up, w_down, b_down):
-    k_tile, _, interpret = static
+    k_tile, _, interpret, partial = static
     return fused_ffn(x, gamma, beta, w_up, b_up, w_down, b_down,
-                     k_tile=k_tile, interpret=interpret)
+                     k_tile=k_tile, interpret=interpret, partial=partial)
 
 
 def _fused_ffn_fwd(static, *args):
@@ -346,12 +364,14 @@ def _fused_ffn_fwd(static, *args):
 
 
 def _fused_ffn_bwd_rule(static, residuals, g):
-    k_tile, bwd, interpret = static
+    k_tile, bwd, interpret, partial = static
     if bwd:
         x, gamma, beta, w_up, b_up, w_down, b_down = residuals
         return fused_ffn_bwd(x, g, gamma, beta, w_up, b_up, w_down, b_down,
-                             k_tile=k_tile, interpret=interpret)
-    _, vjp = jax.vjp(xla_ffn, *residuals)
+                             k_tile=k_tile, interpret=interpret,
+                             partial=partial)
+    _, vjp = jax.vjp(
+        lambda *a: xla_ffn(*a, partial=partial), *residuals)
     return vjp(g)
 
 
@@ -363,12 +383,14 @@ def fused_ffn_ad(
     k_tile: Optional[int] = None,
     bwd: bool = True,
     interpret: bool = False,
+    partial: bool = False,
 ):
     """Differentiable fused FFN sublayer: Pallas forward + selectable
     backward — the single-kernel fused backward (``bwd=True``) or XLA
     rematerialize-and-autodiff (``bwd=False``). Safe under ``jax.grad``;
-    use ``fused_ffn_train_ready`` to pick it safely on a real backend."""
-    static = (k_tile, bool(bwd), interpret)
+    use ``fused_ffn_train_ready`` to pick it safely on a real backend.
+    ``partial``: tensor-parallel hidden-dim shard (see ``fused_ffn``)."""
+    static = (k_tile, bool(bwd), interpret, bool(partial))
     return _fused_ffn_ad(static, x, gamma, beta, w_up, b_up, w_down, b_down)
 
 

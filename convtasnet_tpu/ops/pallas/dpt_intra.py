@@ -43,6 +43,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from convtasnet_tpu.ops.pallas.dpt_attention import _out_vma
+
 NEG_INF = -1e9
 _EPS = 1e-6
 
@@ -189,7 +191,8 @@ def fused_intra_attention(
         ],
         out_specs=pl.BlockSpec((1, ct, S, B), lambda m, c: (m, c, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, n, S, B), cdtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (M, n, S, B), cdtype, vma=_out_vma(x, w_qkv, w_out)),
         scratch_shapes=[pltpu.VMEM((ct, Bq, S), cdtype)],
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -245,7 +248,8 @@ def xla_intra_attention(x, gamma, beta, w_qkv, w_out, key_bias, *,
 
 def _intra_bwd_kernel(x_ref, g_ref, wqkv_ref, wout_ref, aff_ref, bias_ref,
                       dx_ref, dwqkv_ref, dwout_ref, dgb_ref,
-                      at_ref, dqkv_t_ref, *, n_heads: int):
+                      at_ref, dqkv_t_ref, *, n_heads: int,
+                      partial: bool = False):
     """Backward of ``_intra_kernel`` for one (batch row, chunk tile).
 
     ``x`` is the only residual: the forward intermediates (LN, QKV,
@@ -255,14 +259,20 @@ def _intra_bwd_kernel(x_ref, g_ref, wqkv_ref, wout_ref, aff_ref, bias_ref,
     constant-index f32 output blocks (initialized at the first step),
     the same discipline as ``dpt_attention._inter_bwd_kernel``.
 
-    dx_ref:     [1, ct, S, B]; dwqkv_ref: [B, 3B] f32; dwout_ref: [B, B]
-    f32; dgb_ref: [2, B] f32 (dgamma, dbeta).
-    at_ref:     [ct, B, S] cdtype scratch (recomputed attention output);
-    dqkv_t_ref: [ct, 3B, S] cdtype scratch (dq|dk|dv, transposed layout).
+    dx_ref:     [1, ct, S, B]; dwqkv_ref: [B, 3*Bq] f32; dwout_ref:
+    [Bq, B] f32; dgb_ref: [2, B] f32 (dgamma, dbeta).
+    at_ref:     [ct, Bq, S] cdtype scratch (recomputed attention output);
+    dqkv_t_ref: [ct, 3*Bq, S] cdtype scratch (dq|dk|dv, transposed
+    layout).
+
+    ``partial=True`` is the backward of the ``partial`` forward
+    (projection-only, head-group weight shard): ``dx`` omits the residual
+    passthrough term.
     """
     _, ct, S, B = x_ref.shape
+    Bq = wqkv_ref.shape[1] // 3
     h = n_heads
-    d = B // h
+    d = Bq // h
     cdtype = x_ref.dtype
 
     # ---- recompute the forward intermediates ----
@@ -276,10 +286,10 @@ def _intra_bwd_kernel(x_ref, g_ref, wqkv_ref, wout_ref, aff_ref, bias_ref,
     y2 = y.reshape(ct * S, B)
     qkv = jnp.dot(y2, wqkv_ref[:],
                   preferred_element_type=jnp.float32).astype(cdtype)
-    qkv = qkv.reshape(ct, S, 3 * B)
-    q = jnp.swapaxes(qkv[:, :, 0 * B:1 * B], 1, 2)          # [ct, B, S]
-    k = jnp.swapaxes(qkv[:, :, 1 * B:2 * B], 1, 2)
-    v = jnp.swapaxes(qkv[:, :, 2 * B:3 * B], 1, 2)
+    qkv = qkv.reshape(ct, S, 3 * Bq)
+    q = jnp.swapaxes(qkv[:, :, 0 * Bq:1 * Bq], 1, 2)        # [ct, Bq, S]
+    k = jnp.swapaxes(qkv[:, :, 1 * Bq:2 * Bq], 1, 2)
+    v = jnp.swapaxes(qkv[:, :, 2 * Bq:3 * Bq], 1, 2)
 
     # dA = g @ Wout^T, in the transposed per-chunk layout
     gt = g_ref[0]                                           # [ct, S, B]
@@ -287,7 +297,7 @@ def _intra_bwd_kernel(x_ref, g_ref, wqkv_ref, wout_ref, aff_ref, bias_ref,
     dA = jax.lax.dot_general(
         g2, wout_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32).astype(cdtype)
-    dA_t = jnp.swapaxes(dA.reshape(ct, S, B), 1, 2)         # [ct, B, S]
+    dA_t = jnp.swapaxes(dA.reshape(ct, S, Bq), 1, 2)        # [ct, Bq, S]
 
     scale = 1.0 / float(np.sqrt(d))
     for c in range(ct):
@@ -315,7 +325,7 @@ def _intra_bwd_kernel(x_ref, g_ref, wqkv_ref, wout_ref, aff_ref, bias_ref,
                 dA_i, v_i, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)         # [Sq, Sk]
             # dv[d, k] = sum_q dA_i[d, q] p[q, k]
-            dqkv_t_ref[c, 2 * B + i * d:2 * B + (i + 1) * d, :] = (
+            dqkv_t_ref[c, 2 * Bq + i * d:2 * Bq + (i + 1) * d, :] = (
                 jax.lax.dot_general(
                     dA_i, pc, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(cdtype))
@@ -323,24 +333,24 @@ def _intra_bwd_kernel(x_ref, g_ref, wqkv_ref, wout_ref, aff_ref, bias_ref,
             rowsum = jnp.sum(p * dp, axis=-1, keepdims=True)
             ds = ((p * (dp - rowsum)) * scale).astype(cdtype)
             # dq[d, q] = sum_k k_i[d, k] ds[q, k]
-            dqkv_t_ref[c, 0 * B + i * d:0 * B + (i + 1) * d, :] = (
+            dqkv_t_ref[c, 0 * Bq + i * d:0 * Bq + (i + 1) * d, :] = (
                 jax.lax.dot_general(
                     k_i, ds, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(cdtype))
             # dk[d, k] = sum_q q_i[d, q] ds[q, k]
-            dqkv_t_ref[c, 1 * B + i * d:1 * B + (i + 1) * d, :] = (
+            dqkv_t_ref[c, 1 * Bq + i * d:1 * Bq + (i + 1) * d, :] = (
                 jax.lax.dot_general(
                     q_i, ds, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(cdtype))
 
-    a2 = jnp.swapaxes(at_ref[:], 1, 2).reshape(ct * S, B)
+    a2 = jnp.swapaxes(at_ref[:], 1, 2).reshape(ct * S, Bq)
     dwout_acc = jax.lax.dot_general(
         a2, g2, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # [B, B]
-    dqkv2 = jnp.swapaxes(dqkv_t_ref[:], 1, 2).reshape(ct * S, 3 * B)
+        preferred_element_type=jnp.float32)                 # [Bq, B]
+    dqkv2 = jnp.swapaxes(dqkv_t_ref[:], 1, 2).reshape(ct * S, 3 * Bq)
     dwqkv_acc = jax.lax.dot_general(
         y2, dqkv2, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # [B, 3B]
+        preferred_element_type=jnp.float32)                 # [B, 3Bq]
     dy = jax.lax.dot_general(
         dqkv2, wqkv_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                 # [ct*S, B] f32
@@ -352,7 +362,10 @@ def _intra_bwd_kernel(x_ref, g_ref, wqkv_ref, wout_ref, aff_ref, bias_ref,
     mean_d = jnp.mean(dxhat, axis=-1, keepdims=True)
     mean_xd = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     dx_ln = r * (dxhat - mean_d - xhat * mean_xd)
-    dx_ref[0] = (gt.astype(jnp.float32) + dx_ln).astype(cdtype)
+    if partial:  # no residual passthrough in the partial forward
+        dx_ref[0] = dx_ln.astype(cdtype)
+    else:
+        dx_ref[0] = (gt.astype(jnp.float32) + dx_ln).astype(cdtype)
 
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
     dgb = jnp.concatenate([dgamma, dbeta], axis=0)          # [2, B]
@@ -380,29 +393,33 @@ def fused_intra_attention_bwd(
     n_heads: int,
     c_tile: Optional[int] = None,
     interpret: bool = False,
+    partial: bool = False,
 ):
     """Single-kernel backward of the fused intra sublayer. Returns
-    ``(dx, dgamma, dbeta, dw_qkv, dw_out)`` in the primals' dtypes."""
+    ``(dx, dgamma, dbeta, dw_qkv, dw_out)`` in the primals' dtypes.
+    ``partial``: backward of the partial (head-group shard) forward."""
     M, n, S, B = x.shape
+    Bq = w_qkv.shape[1] // 3
     ct = int(c_tile) if c_tile else 1
     cdtype = x.dtype
     aff = jnp.stack([gamma.astype(jnp.float32), beta.astype(jnp.float32)])
     if key_bias is None:
         key_bias = jnp.zeros((n, S), jnp.float32)
-    flops = (2 * M * n * S * B * 3 * B * 3      # qkv fwd + dWqkv + dy
-             + 2 * M * n * S * B * B * 3        # out fwd + dWout + dA
-             + 4 * M * n * S * S * B * 3)       # attention fwd + bwd
+    flops = (2 * M * n * S * B * 3 * Bq * 3     # qkv fwd + dWqkv + dy
+             + 2 * M * n * S * Bq * B * 3       # out fwd + dWout + dA
+             + 4 * M * n * S * S * Bq * 3)      # attention fwd + bwd
     dx, dwqkv, dwout, dgb = pl.pallas_call(
-        functools.partial(_intra_bwd_kernel, n_heads=n_heads),
+        functools.partial(_intra_bwd_kernel, n_heads=n_heads,
+                          partial=partial),
         grid=(M, n // ct),
         in_specs=[
             pl.BlockSpec((1, ct, S, B), lambda m, c: (m, c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ct, S, B), lambda m, c: (m, c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 3 * B), lambda m, c: (0, 0),
+            pl.BlockSpec((B, 3 * Bq), lambda m, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, B), lambda m, c: (0, 0),
+            pl.BlockSpec((Bq, B), lambda m, c: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, B), lambda m, c: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -412,22 +429,23 @@ def fused_intra_attention_bwd(
         out_specs=(
             pl.BlockSpec((1, ct, S, B), lambda m, c: (m, c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 3 * B), lambda m, c: (0, 0),
+            pl.BlockSpec((B, 3 * Bq), lambda m, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, B), lambda m, c: (0, 0),
+            pl.BlockSpec((Bq, B), lambda m, c: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, B), lambda m, c: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((M, n, S, B), cdtype),
-            jax.ShapeDtypeStruct((B, 3 * B), jnp.float32),
-            jax.ShapeDtypeStruct((B, B), jnp.float32),
-            jax.ShapeDtypeStruct((2, B), jnp.float32),
-        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(sh, dt_, vma=_out_vma(x, g, w_qkv,
+                                                       w_out))
+            for sh, dt_ in (((M, n, S, B), cdtype),
+                            ((B, 3 * Bq), jnp.float32),
+                            ((Bq, B), jnp.float32),
+                            ((2, B), jnp.float32))),
         scratch_shapes=[
-            pltpu.VMEM((ct, B, S), cdtype),
-            pltpu.VMEM((ct, 3 * B, S), cdtype),
+            pltpu.VMEM((ct, Bq, S), cdtype),
+            pltpu.VMEM((ct, 3 * Bq, S), cdtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -444,10 +462,10 @@ def fused_intra_attention_bwd(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_intra_ad(static, x, gamma, beta, w_qkv, w_out, key_bias):
-    n_heads, c_tile, _, interpret = static
+    n_heads, c_tile, _, interpret, partial = static
     return fused_intra_attention(x, gamma, beta, w_qkv, w_out, key_bias,
                                  n_heads=n_heads, c_tile=c_tile,
-                                 interpret=interpret)
+                                 interpret=interpret, partial=partial)
 
 
 def _fused_intra_fwd(static, *args):
@@ -457,15 +475,17 @@ def _fused_intra_fwd(static, *args):
 
 
 def _fused_intra_bwd(static, residuals, g):
-    n_heads, c_tile, bwd, interpret = static
+    n_heads, c_tile, bwd, interpret, partial = static
     if bwd:
         x, gamma, beta, w_qkv, w_out, key_bias = residuals
         dx, dgamma, dbeta, dwqkv, dwout = fused_intra_attention_bwd(
             x, g, gamma, beta, w_qkv, w_out, key_bias,
-            n_heads=n_heads, c_tile=c_tile, interpret=interpret)
+            n_heads=n_heads, c_tile=c_tile, interpret=interpret,
+            partial=partial)
         return dx, dgamma, dbeta, dwqkv, dwout, jnp.zeros_like(residuals[5])
     _, vjp = jax.vjp(
-        lambda *a: xla_intra_attention(*a, n_heads=n_heads), *residuals)
+        lambda *a: xla_intra_attention(*a, n_heads=n_heads,
+                                       partial=partial), *residuals)
     return vjp(g)
 
 
@@ -478,15 +498,18 @@ def fused_intra_attention_ad(
     c_tile: Optional[int] = None,
     bwd: bool = True,
     interpret: bool = False,
+    partial: bool = False,
 ):
     """Differentiable fused intra sublayer: Pallas forward + selectable
     backward — the single-kernel fused backward (``bwd=True``) or XLA
     rematerialize-and-autodiff (``bwd=False``). Safe under ``jax.grad``;
-    use ``fused_intra_train_ready`` to pick it safely on a real backend."""
+    use ``fused_intra_train_ready`` to pick it safely on a real backend.
+    ``partial``: tensor-parallel head-group shard (see
+    ``fused_intra_attention``)."""
     if key_bias is None:
         M, n, S, B = x.shape
         key_bias = jnp.zeros((n, S), jnp.float32)
-    static = (n_heads, c_tile, bool(bwd), interpret)
+    static = (n_heads, c_tile, bool(bwd), interpret, bool(partial))
     return _fused_intra_ad(static, x, gamma, beta, w_qkv, w_out, key_bias)
 
 

@@ -9,4 +9,5 @@ from convtasnet_tpu.parallel.dpt_tp import (  # noqa: F401
     dpt_tp_forward,
     dpt_tp_variables,
     ensure_probed_dpt_tp,
+    make_dpt_tp_train_step,
 )

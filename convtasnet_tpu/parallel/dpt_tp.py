@@ -264,12 +264,80 @@ def _probe_tp_sub(sub: str, key: tuple, candidates: dict, xla_fn, x,
     return win
 
 
+def _probe_tp_train_sub(sub: str, key: tuple, fused_grad, xla_grad, x,
+                        dtype, verbose: bool):
+    """Probe one partial TRAIN pair: compile the fused custom-VJP x->dx,
+    verify ALL cotangents against partial-XLA autodiff on-device, race on
+    time. Records True | None in ``_TP_READY`` under ``<sub>-train``."""
+    from convtasnet_tpu.ops.pallas.tcn_block import (
+        _numerics_tol,
+        _race,
+        _rel_err,
+    )
+
+    err = None
+    for _ in range(3):
+        try:
+            jax.jit(fused_grad).lower(x).compile()
+            err = None
+            break
+        except Exception as e:  # noqa: BLE001 — any compile failure
+            err = e
+    if err is not None:
+        if verbose:
+            import sys as _sys
+
+            print(f"dpt tp train probe {sub} {key}: compile failed "
+                  f"({type(err).__name__})", file=_sys.stderr)
+        _TP_READY[(sub + "-train",) + key] = None
+        return None
+    best_name, timed = _race({"fused": fused_grad}, xla_grad, x, inner=30)
+    best = best_name is not None
+    if verbose:
+        import sys as _sys
+
+        detail = " ".join(f"{k_}={v * 1e3:.3f}ms"
+                          for k_, v in sorted(timed.items()))
+        print(f"dpt tp train probe {sub} {key}: best="
+              f"{'fused' if best else 'xla'} ({detail})", file=_sys.stderr)
+    if best:
+        tol = 2 * _numerics_tol(dtype)
+        try:
+            ref = jax.device_get(jax.jit(xla_grad, static_argnums=(1,))(
+                x, True))
+            got = jax.device_get(jax.jit(fused_grad, static_argnums=(1,))(
+                x, True))
+            merr = max(_rel_err(g_, w_) for g_, w_ in zip(got, ref))
+            ok = merr <= tol
+        except Exception:  # noqa: BLE001 — reference failed
+            ok, merr = True, float("nan")
+        if verbose:
+            import sys as _sys
+
+            state = "ok" if ok else "REJECTED"
+            print(f"dpt tp train probe {sub} {key}: grads vs autodiff "
+                  f"(tol {tol:g}): max rel err {merr:.2e} [{state}]",
+                  file=_sys.stderr)
+        if not ok:
+            best = False
+    win = True if best else None
+    _TP_READY[(sub + "-train",) + key] = win
+    return win
+
+
 def ensure_probed_dpt_tp(cfg: ConvTasNetConfig, n_model: int, batch: int,
-                         T: int, verbose: bool = True) -> None:
+                         T: int, verbose: bool = True,
+                         train: bool = False) -> None:
     """Probe the three PARTIAL fused sublayer kernels at the local widths
     a ``n_model``-way head split produces, for a concrete per-device
     ``[batch, T]`` input (idempotent; no-op on CPU). Winners persist in
     the shared autotune cache under ``dpt:tp:*`` keys.
+
+    ``train=True`` additionally probes the partial custom-VJP TRAIN
+    pairs (fused single-kernel backwards): each must compile, win the
+    race against partial-XLA autodiff AND reproduce all cotangents
+    on-device before the TP train step engages it (``dpt:tp:*-train``
+    keys).
 
     Runs on a single device: a TP shard executes exactly this shape, so
     one chip's probe validates and times what every shard will run.
@@ -318,7 +386,9 @@ def ensure_probed_dpt_tp(cfg: ConvTasNetConfig, n_model: int, batch: int,
     bias = jnp.asarray(np.where(valid, 0.0, NEG_INF), jnp.float32)
 
     shape_tag = f"{batch}:{n}:{S}:{B}:{h_l}:{Bl}:{Fl}:{dt}"
-    if shape_tag in _TP_PROBED:
+    fwd_done = shape_tag in _TP_PROBED
+    train_done = (shape_tag + ":train") in _TP_PROBED
+    if fwd_done and (not train or train_done):
         return
 
     # --- attention partials (shared random operands) ---
@@ -329,6 +399,10 @@ def ensure_probed_dpt_tp(cfg: ConvTasNetConfig, n_model: int, batch: int,
         rng.standard_normal((Bl, B)) / np.sqrt(Bl), dtype)
 
     att_key = (n, S, B, h_l, Bl, dt)
+    if fwd_done:
+        return _probe_tp_train_all(cfg, shape_tag, att_key, x4, gamma,
+                                   beta, w_qkv, w_out, bias, batch, Kp, B,
+                                   Fl, dtype, verbose)
     for sub, fused_fn, xla_ref, tiles, tile_kw in (
         ("intra", fused_intra_attention, xla_intra_attention,
          _chunk_tiles(n), "c_tile"),
@@ -417,6 +491,130 @@ def ensure_probed_dpt_tp(cfg: ConvTasNetConfig, n_model: int, batch: int,
             x3, dtype, verbose)
         _autotune_cache_store(disk_key, {"tile": win})
     _TP_PROBED.add(shape_tag)
+    if train:
+        _probe_tp_train_all(cfg, shape_tag, att_key, x4, gamma, beta,
+                            w_qkv, w_out, bias, batch, Kp, B, Fl, dtype,
+                            verbose)
+
+
+def _probe_tp_train_all(cfg, shape_tag, att_key, x4, gamma, beta, w_qkv,
+                        w_out, bias, batch, Kp, B, Fl, dtype, verbose):
+    """Probe the three partial TRAIN pairs at the local TP widths (only
+    where the forward already has a fused winner). Winners persist under
+    ``dpt:tp:*-train`` keys."""
+    from convtasnet_tpu.ops.pallas.dpt_attention import (
+        fused_inter_attention_ad,
+        xla_inter_attention,
+    )
+    from convtasnet_tpu.ops.pallas.dpt_ffn import fused_ffn_ad, xla_ffn
+    from convtasnet_tpu.ops.pallas.dpt_intra import (
+        fused_intra_attention_ad,
+        xla_intra_attention,
+    )
+    from convtasnet_tpu.ops.pallas.tcn_block import (
+        _autotune_cache_load,
+        _autotune_cache_store,
+    )
+
+    if (shape_tag + ":train") in _TP_PROBED:
+        return
+    h_l = att_key[3]
+    dt = att_key[-1]
+    n = att_key[0]
+
+    def grad_fn(sublayer, wargs):
+        def f(xx, full=False):
+            def loss(*a):
+                return jnp.sum(sublayer(*a).astype(jnp.float32))
+
+            grads = jax.grad(
+                loss, argnums=tuple(range(1 + len(wargs))))(xx, *wargs)
+            if full:
+                return grads
+            return grads[0].astype(xx.dtype)
+
+        return f
+
+    for sub, fused_ad, xla_ref, tile_kw, key, x in (
+        ("intra", fused_intra_attention_ad, xla_intra_attention,
+         "c_tile", att_key, x4),
+        ("inter", fused_inter_attention_ad, xla_inter_attention,
+         "s_tile", att_key, x4),
+    ):
+        fwd_win = _TP_READY.get((sub,) + key)
+        if fwd_win is None:
+            _TP_READY[(sub + "-train",) + key] = None
+            continue
+        disk_key = f"dpt:tp:{sub}-train:" + shape_tag
+        cached = _autotune_cache_load().get(disk_key)
+        wargs = (gamma, beta, w_qkv, w_out)
+        fused_g = grad_fn(
+            lambda *a, _f=fused_ad, _kw={tile_kw: int(fwd_win)}:
+            _f(*a, bias, n_heads=h_l, bwd=True, partial=True, **_kw),
+            wargs)
+        if cached:
+            win = cached.get("train")
+            _TP_READY[(sub + "-train",) + key] = True if win else None
+            if verbose:
+                import sys as _sys
+
+                print(f"dpt tp train probe: winner loaded from disk "
+                      f"({disk_key} -> {win})", file=_sys.stderr)
+            if win:
+                try:
+                    jax.jit(fused_g).lower(x).compile()
+                except Exception:  # noqa: BLE001 — degrade to autodiff
+                    _TP_READY[(sub + "-train",) + key] = None
+            continue
+        xla_g = grad_fn(
+            lambda *a, _f=xla_ref: _f(*a, bias, n_heads=h_l,
+                                      partial=True),
+            wargs)
+        win = _probe_tp_train_sub(sub, key, fused_g, xla_g, x, dtype,
+                                  verbose)
+        _autotune_cache_store(disk_key, {"train": bool(win) if win
+                                         else None})
+
+    # FFN train pair
+    ffn_key = (Kp, B, Fl, dt)
+    fwd_win = _TP_READY.get(("ffn",) + ffn_key)
+    if fwd_win is None:
+        _TP_READY[("ffn-train",) + ffn_key] = None
+    else:
+        rng = np.random.default_rng(0)
+        x3 = x4.reshape(batch, Kp, B)
+        w_up = jnp.asarray(rng.standard_normal((B, Fl)) / np.sqrt(B),
+                           dtype)
+        b_up = jnp.asarray(rng.standard_normal((Fl,)) * 0.02, jnp.float32)
+        w_dn = jnp.asarray(rng.standard_normal((Fl, B)) / np.sqrt(Fl),
+                           dtype)
+        b_dn = jnp.zeros((B,), jnp.float32)
+        wargs = (gamma, beta, w_up, b_up, w_dn, b_dn)
+        disk_key = "dpt:tp:ffn-train:" + shape_tag
+        cached = _autotune_cache_load().get(disk_key)
+        fused_g = grad_fn(
+            lambda *a: fused_ffn_ad(*a, k_tile=int(fwd_win), bwd=True,
+                                    partial=True), wargs)
+        if cached:
+            win = cached.get("train")
+            _TP_READY[("ffn-train",) + ffn_key] = True if win else None
+            if verbose:
+                import sys as _sys
+
+                print(f"dpt tp train probe: winner loaded from disk "
+                      f"({disk_key} -> {win})", file=_sys.stderr)
+            if win:
+                try:
+                    jax.jit(fused_g).lower(x3).compile()
+                except Exception:  # noqa: BLE001 — degrade to autodiff
+                    _TP_READY[("ffn-train",) + ffn_key] = None
+        else:
+            xla_g = grad_fn(lambda *a: xla_ffn(*a, partial=True), wargs)
+            win = _probe_tp_train_sub("ffn", ffn_key, fused_g, xla_g, x3,
+                                      dtype, verbose)
+            _autotune_cache_store(disk_key, {"train": bool(win) if win
+                                             else None})
+    _TP_PROBED.add(shape_tag + ":train")
 
 
 # --------------------------------------------------------------------------
@@ -433,20 +631,51 @@ def _ln(prm, x):
     return (y * prm["gamma"] + prm["beta"]).astype(x.dtype)
 
 
+def _pvary_all(args, axes):
+    """Promote every array to varying over ``axes`` (vma) where it isn't
+    already. The fused partial custom-VJP pairs return cotangents that
+    vary over BOTH mesh axes (each (data, model) shard computes its own
+    piece), so their primals must too — and the pvary transposes insert
+    exactly the Megatron backward collectives: psum of dx over ``model``,
+    psum of weight grads over ``data``, psum of the LN affine grads over
+    both. No-op outside vma-checked tracing."""
+    pcast = getattr(jax.lax, "pcast", None)
+
+    def one(v):
+        try:
+            have = jax.typeof(v).vma
+        except Exception:  # noqa: BLE001 — no vma tracking here
+            return v
+        need = tuple(a for a in axes if a not in have)
+        if not need:
+            return v
+        if pcast is not None:
+            return pcast(v, need, to="varying")
+        return jax.lax.pvary(v, need)
+
+    return tuple(one(v) for v in args)
+
+
 def _tp_att(lp, x, bias, h_l, attend_axis, use_pallas, interpret,
-            model_axis):
+            model_axis, train=False):
     """One attention sublayer on this shard's head group + psum combine.
 
     x: [Ml, n, S, B] (replicated over model); lp holds the LOCAL weight
     shards ([1, B, 3*Bl] / [1, Bl, B] — leading axis is the shard's slice
     of the stacked weights). Returns x + psum(partial proj).
+
+    ``train=True`` routes through the partial custom-VJP pair (fused
+    single-kernel backward) when the ``*-train`` registry has this
+    shape, else plain autodiff of the partial XLA math.
     """
     from convtasnet_tpu.ops.pallas.dpt_attention import (
         fused_inter_attention,
+        fused_inter_attention_ad,
         xla_inter_attention,
     )
     from convtasnet_tpu.ops.pallas.dpt_intra import (
         fused_intra_attention,
+        fused_intra_attention_ad,
         xla_intra_attention,
     )
 
@@ -458,27 +687,47 @@ def _tp_att(lp, x, bias, h_l, attend_axis, use_pallas, interpret,
     sub = "intra" if attend_axis == 2 else "inter"
     fused = fused_intra_attention if sub == "intra" else \
         fused_inter_attention
+    fused_ad = fused_intra_attention_ad if sub == "intra" else \
+        fused_inter_attention_ad
     xla = xla_intra_attention if sub == "intra" else xla_inter_attention
-    tile = _tp_ready(sub, (n, S, B, h_l, Bl, str(x.dtype)),
-                     interpret) if use_pallas else None
-    if tile is not None:
+    key = (n, S, B, h_l, Bl, str(x.dtype))
+    tile = _tp_ready(sub, key, interpret) if use_pallas else None
+    # fused train pairs never engage in interpret mode: Pallas'
+    # HLO-interpreter internals can't trace under vma checking (the
+    # train shard_map uses check_vma=True); on hardware the probed
+    # registry decides
+    trn = train and use_pallas and not interpret and \
+        _tp_ready(sub + "-train", key, False) is not None
+    if tile is not None and (not train or trn):
         kw = {"c_tile" if sub == "intra" else "s_tile":
               None if tile == "auto" else tile}
-        part = fused(x, gamma, beta, w_qkv, w_out, bias, n_heads=h_l,
-                     interpret=interpret, partial=True, **kw)
+        if train:
+            xv, gv, bv, wqv, wov, biv = _pvary_all(
+                (x, gamma, beta, w_qkv, w_out, bias),
+                ("data", model_axis))
+            part = fused_ad(xv, gv, bv, wqv, wov, biv,
+                            n_heads=h_l, bwd=True, interpret=interpret,
+                            partial=True, **kw)
+        else:
+            part = fused(x, gamma, beta, w_qkv, w_out, bias, n_heads=h_l,
+                         interpret=interpret, partial=True, **kw)
     else:
         part = xla(x, gamma, beta, w_qkv, w_out, bias, n_heads=h_l,
                    partial=True)
     return x + jax.lax.psum(part, model_axis)
 
 
-def _tp_ffn(lp, x, use_pallas, interpret, model_axis):
+def _tp_ffn(lp, x, use_pallas, interpret, model_axis, train=False):
     """One FFN sublayer on this shard's hidden slice + psum combine.
 
     x: [Ml, Kp, B]; lp holds [1, B, Fl] / [1, Fl] / [1, Fl, B] local
     shards (down bias replicated, added once after the psum).
     """
-    from convtasnet_tpu.ops.pallas.dpt_ffn import fused_ffn, xla_ffn
+    from convtasnet_tpu.ops.pallas.dpt_ffn import (
+        fused_ffn,
+        fused_ffn_ad,
+        xla_ffn,
+    )
 
     M, Kp, B = x.shape
     gamma, beta = lp["norm"]["gamma"], lp["norm"]["beta"]
@@ -487,12 +736,22 @@ def _tp_ffn(lp, x, use_pallas, interpret, model_axis):
     w_dn = lp["down"]["kernel"][0]
     b_dn = lp["down"]["bias"]
     Fl = w_up.shape[1]
-    tile = _tp_ready("ffn", (Kp, B, Fl, str(x.dtype)),
-                     interpret) if use_pallas else None
-    if tile is not None:
-        part = fused_ffn(x, gamma, beta, w_up, b_up, w_dn, b_dn,
-                         k_tile=None if tile == "auto" else tile,
-                         interpret=interpret, partial=True)
+    key = (Kp, B, Fl, str(x.dtype))
+    tile = _tp_ready("ffn", key, interpret) if use_pallas else None
+    trn = train and use_pallas and not interpret and \
+        _tp_ready("ffn-train", key, False) is not None
+    if tile is not None and (not train or trn):
+        kt = None if tile == "auto" else tile
+        if train:
+            xv, gv, bv, wuv, buv, wdv, bdv = _pvary_all(
+                (x, gamma, beta, w_up, b_up, w_dn, b_dn),
+                ("data", model_axis))
+            part = fused_ffn_ad(xv, gv, bv, wuv, buv, wdv, bdv,
+                                k_tile=kt, bwd=True, interpret=interpret,
+                                partial=True)
+        else:
+            part = fused_ffn(x, gamma, beta, w_up, b_up, w_dn, b_dn,
+                             k_tile=kt, interpret=interpret, partial=True)
     else:
         part = xla_ffn(x, gamma, beta, w_up, b_up, w_dn, b_dn,
                        partial=True)
@@ -500,7 +759,8 @@ def _tp_ffn(lp, x, use_pallas, interpret, model_axis):
 
 
 def _dpt_tp_shard_forward(cfg: ConvTasNetConfig, tpvars, mixture,
-                          model_axis: str, n_model: int):
+                          model_axis: str, n_model: int,
+                          train: bool = False):
     """Local forward: mixture [M_local, T]; separator layer weights are
     this shard's head-group/hidden slices. Mirrors
     ``models/dual_path.DualPathSeparator`` + encoder/decoder exactly
@@ -536,13 +796,13 @@ def _dpt_tp_shard_forward(cfg: ConvTasNetConfig, tpvars, mixture,
     for i in range(cfg.dpt_layers):
         lp = sep[f"layer_{i}"]
         x = _tp_att(lp["intra_att"], x, bias, h_l, 2, use_pallas,
-                    interpret, model_axis)
+                    interpret, model_axis, train=train)
         x = _tp_ffn(lp["intra_ffn"], x.reshape(M, Kp, B), use_pallas,
-                    interpret, model_axis).reshape(M, n, S, B)
+                    interpret, model_axis, train=train).reshape(M, n, S, B)
         x = _tp_att(lp["inter_att"], x, bias, h_l, 1, use_pallas,
-                    interpret, model_axis)
+                    interpret, model_axis, train=train)
         x = _tp_ffn(lp["inter_ffn"], x.reshape(M, Kp, B), use_pallas,
-                    interpret, model_axis).reshape(M, n, S, B)
+                    interpret, model_axis, train=train).reshape(M, n, S, B)
 
     x = _ln(sep["output_norm"], x).reshape(M, Kp, B)[:, :K]
     score = jax.nn.relu(x) @ sep["mask_conv"].astype(x.dtype)
@@ -596,3 +856,98 @@ def dpt_tp_forward(
         check_vma=False,
     )
     return fn(tpv, mixture)
+
+
+def make_dpt_tp_train_step(
+    cfg: ConvTasNetConfig,
+    tx,
+    state,
+    mesh: Mesh,
+    donate: bool = True,
+    model_axis: str = "model",
+    data_axis: str = "data",
+):
+    """Dual-path TP train step with the fused kernels running PER SHARD.
+
+    The GSPMD train step (``train/train_step.make_sharded_train_step``)
+    demotes the fused kernels under a real model split; this explicit
+    alternative keeps them: the loss shard_maps the forward over the
+    (data, model) mesh with head-group weight shards and differentiates
+    THROUGH the shard_map (``check_vma=True`` so the psum transposes are
+    exact), routing each sublayer through its partial custom-VJP pair
+    where the ``*-train`` registry is populated
+    (``ensure_probed_dpt_tp(..., train=True)``), else partial-XLA
+    autodiff.
+
+    ``state.params`` stay in the CANONICAL layout — the head-aligned
+    stacking (``dpt_tp_variables``) happens inside the jitted step and is
+    differentiated through, so gradients, optimizer state, solver and
+    checkpoints are all layout-unchanged. Returns a jitted
+    ``step(state, batch) -> (state, metrics)`` with the
+    ``make_train_step`` contract (batch = (mixture, lengths, sources,
+    weights), weighted PIT SI-SNR loss).
+    """
+    import optax
+
+    from convtasnet_tpu.losses.pit import pit_si_snr
+
+    n_model = int(dict(mesh.shape).get(model_axis, 1))
+    n_data = int(dict(mesh.shape).get(data_axis, 1))
+
+    def body(tpv, mixture, lengths, sources, weights):
+        est = _dpt_tp_shard_forward(cfg, tpv, mixture, model_axis,
+                                    n_model, train=True)
+        max_snr, _ = pit_si_snr(sources, est, lengths)
+        lsum = -jnp.sum(max_snr * weights.astype(jnp.float32))
+        return lsum[None]                   # [1] per data shard
+
+    def loss_fn(params, batch):
+        mixture, lengths, sources, weights = batch
+        tpv = dpt_tp_variables(cfg, {"params": params}, n_model)
+        specs = _tp_var_specs(cfg, tpv, model_axis)
+        sm = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(specs, P(data_axis), P(data_axis), P(data_axis),
+                      P(data_axis)),
+            out_specs=P(data_axis),
+        )
+        lsums = sm(tpv, mixture, lengths, sources, weights)  # [n_data]
+        wsum = jnp.maximum(jnp.sum(weights.astype(jnp.float32)), 1.0)
+        return jnp.sum(lsums) / wsum
+
+    def step_fn(st, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(st.params, batch)
+        updates, new_opt = tx.update(grads, st.opt_state, st.params)
+        new_params = optax.apply_updates(st.params, updates)
+        st = st.replace(step=st.step + 1, params=new_params,
+                        opt_state=new_opt)
+        return st, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    kwargs = {"donate_argnums": (0,)} if donate else {}
+    jitted = jax.jit(step_fn, **kwargs)
+
+    degraded = []
+
+    def step_with_probe(st, batch):
+        # populate the partial fwd + train-pair registries for the
+        # per-shard shape before tracing (idempotent; no-op on CPU)
+        if n_model > 1 and not degraded:
+            ensure_probed_dpt_tp(
+                cfg, n_model, max(1, batch[0].shape[0] // n_data),
+                batch[0].shape[-1], train=True)
+        try:
+            return jitted(st, batch)
+        except Exception:  # noqa: BLE001 — e.g. a vma/lowering failure
+            if degraded:
+                raise
+            # the probes validate each pair OUTSIDE the shard_map; if
+            # composing them INSIDE it fails to trace/lower on this
+            # backend, clear the train registries and retrace with
+            # partial-XLA autodiff — training must not be blocked by a
+            # kernel-composition edge
+            degraded.append(True)
+            for k in [k for k in _TP_READY if k[0].endswith("-train")]:
+                _TP_READY[k] = None
+            return jitted(st, batch)
+
+    return step_with_probe

@@ -37,9 +37,10 @@ cfg = ConvTasNetConfig(separator="dpt", n_filters=256, bottleneck=256,
                        compute_dtype="bfloat16")
 T = 4 * cfg.sample_rate
 for n_model in (2, 4):
-    print(f"--- probing TP partial kernels, n_model={n_model} ---",
-          flush=True)
-    ensure_probed_dpt_tp(cfg, n_model, batch=8, T=T, verbose=True)
+    print(f"--- probing TP partial kernels (fwd + train), "
+          f"n_model={n_model} ---", flush=True)
+    ensure_probed_dpt_tp(cfg, n_model, batch=8, T=T, verbose=True,
+                         train=True)
 EOF
 
 echo "=== 7. Flagship bench sanity ==="

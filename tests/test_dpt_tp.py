@@ -228,3 +228,106 @@ def test_separate_tensor_parallel_tcn(tmp_path):
     assert separate(ckpt, out, mix_dir=str(mix_dir),
                     tensor_parallel=4) == 1
     assert os.path.exists(os.path.join(out, "u_s2.wav"))
+
+
+@pytest.mark.parametrize("use_pallas", [True, False])
+def test_dpt_tp_train_step_matches_unsharded(use_pallas):
+    """TP train step (fused partial custom-VJP pairs per shard / XLA
+    partial autodiff) matches the unsharded step: same loss, same grad
+    norm, same params after one optimizer step."""
+    from convtasnet_tpu.config import SolverConfig
+    from convtasnet_tpu.parallel.dpt_tp import make_dpt_tp_train_step
+    from convtasnet_tpu.train.train_step import (
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg = ConvTasNetConfig(**DPT, use_pallas=use_pallas)
+    T = 1600
+    scfg = SolverConfig()
+    rng = np.random.default_rng(0)
+    Bt = 4
+    src = jnp.asarray(rng.standard_normal((Bt, 2, T)) * 0.3, jnp.float32)
+    mix = src.sum(axis=1)
+    batch = (mix, jnp.full((Bt,), T, jnp.int32), src,
+             jnp.ones((Bt,), jnp.float32))
+
+    state1, tx = create_train_state(cfg, scfg, jax.random.PRNGKey(0), T)
+    s_ref, m_ref = make_train_step(cfg, tx)(state1, batch)
+
+    state2, tx2 = create_train_state(cfg, scfg, jax.random.PRNGKey(0), T)
+    mesh = make_mesh(n_data=2, n_model=4)
+    step = make_dpt_tp_train_step(cfg, tx2, state2, mesh, donate=False)
+    s_tp, m_tp = step(state2, batch)
+
+    np.testing.assert_allclose(float(m_tp["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_tp["grad_norm"]),
+                               float(m_ref["grad_norm"]), rtol=1e-4)
+    flat_r = jax.tree_util.tree_leaves(s_ref.params)
+    flat_t = jax.tree_util.tree_leaves(s_tp.params)
+    for a, b in zip(flat_r, flat_t):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_partial_pairs_grads_match_autodiff():
+    """The partial custom-VJP pairs (interpret) reproduce autodiff of the
+    partial XLA sublayers exactly — all weight/affine/input cotangents."""
+    from convtasnet_tpu.ops.pallas.dpt_attention import (
+        fused_inter_attention_ad,
+        xla_inter_attention,
+    )
+    from convtasnet_tpu.ops.pallas.dpt_ffn import fused_ffn_ad, xla_ffn
+    from convtasnet_tpu.ops.pallas.dpt_intra import (
+        fused_intra_attention_ad,
+        xla_intra_attention,
+    )
+
+    rng = np.random.default_rng(0)
+    M, n, S, B, h, m = 2, 3, 16, 64, 4, 2
+    Bl = B // m
+    x = jnp.asarray(rng.standard_normal((M, n, S, B)), jnp.float32)
+    gamma = jnp.asarray(rng.standard_normal(B), jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(B), jnp.float32)
+    wq = jnp.asarray(rng.standard_normal((B, 3 * Bl)) / 8, jnp.float32)
+    wo = jnp.asarray(rng.standard_normal((Bl, B)) / 8, jnp.float32)
+    bias = jnp.zeros((n, S), jnp.float32)
+
+    def check(fused, ref, args, argn):
+        def loss(f):
+            return lambda *a: jnp.sum(jnp.square(f(*a)))
+
+        gf = jax.grad(loss(fused), argnums=tuple(range(argn)))(*args)
+        gr = jax.grad(loss(ref), argnums=tuple(range(argn)))(*args)
+        for a, b in zip(gf, gr):
+            # scale-aware: grads are O(100); pointwise fp reorder noise is
+            # ~1e-6 relative to the tensor scale
+            scale = float(np.max(np.abs(np.asarray(b)))) + 1e-9
+            np.testing.assert_allclose(np.asarray(a) / scale,
+                                       np.asarray(b) / scale,
+                                       rtol=1e-4, atol=1e-5)
+
+    check(lambda *a: fused_intra_attention_ad(
+              *a, bias, n_heads=h // m, bwd=True, interpret=True,
+              partial=True),
+          lambda *a: xla_intra_attention(*a, bias, n_heads=h // m,
+                                         partial=True),
+          (x, gamma, beta, wq, wo), 5)
+    check(lambda *a: fused_inter_attention_ad(
+              *a, bias, n_heads=h // m, bwd=True, interpret=True,
+              partial=True),
+          lambda *a: xla_inter_attention(*a, bias, n_heads=h // m,
+                                         partial=True),
+          (x, gamma, beta, wq, wo), 5)
+
+    F, Fl = 128, 64
+    x3 = x.reshape(M, n * S, B)
+    wu = jnp.asarray(rng.standard_normal((B, Fl)) / 8, jnp.float32)
+    bu = jnp.asarray(rng.standard_normal(Fl) * 0.1, jnp.float32)
+    wd = jnp.asarray(rng.standard_normal((Fl, B)) / 11, jnp.float32)
+    bd = jnp.asarray(rng.standard_normal(B) * 0.1, jnp.float32)
+    check(lambda *a: fused_ffn_ad(*a, bwd=True, interpret=True,
+                                  partial=True),
+          lambda *a: xla_ffn(*a, partial=True),
+          (x3, gamma, beta, wu, bu, wd, bd), 7)
