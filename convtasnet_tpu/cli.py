@@ -122,6 +122,11 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
                    help="steps to trace with --profile")
     g.add_argument("--n-data", type=int, default=-1,
                    help="devices on the data-parallel mesh axis (-1 = all)")
+    g.add_argument("--n-model", type=int, default=1,
+                   help="devices on the model-parallel mesh axis; with "
+                        "--separator dpt the solver trains through the "
+                        "head-group shard_map TP step (fused kernels per "
+                        "shard, parallel/dpt_tp.py)")
 
 
 def _cfg_from_args(a: argparse.Namespace) -> TrainConfig:
@@ -160,7 +165,8 @@ def _cfg_from_args(a: argparse.Namespace) -> TrainConfig:
             train_batch_chunk=getattr(a, "train_batch_chunk", 0),
             profile_dir=getattr(a, "profile", "") or "",
             profile_steps=getattr(a, "profile_steps", 10)),
-        mesh=MeshConfig(data_axis=a.n_data),
+        mesh=MeshConfig(data_axis=a.n_data,
+                        model_axis=getattr(a, "n_model", 1)),
     )
 
 
@@ -236,7 +242,8 @@ def cmd_train(a) -> int:
     sharding = None
     n_shards = 1
     if len(jax.devices()) > 1:
-        mesh = make_mesh(n_data=cfg.mesh.data_axis)
+        mesh = make_mesh(n_data=cfg.mesh.data_axis,
+                         n_model=max(1, cfg.mesh.model_axis))
         sharding = batch_sharding(mesh)
         n_shards = mesh.shape["data"]
 

@@ -98,11 +98,42 @@ class Solver:
                                  else cfg.data.batch_size)
             ensure_probed_train(cfg.model, train_shape_batch, example_len)
         self.state, self.tx = create_train_state(cfg.model, s, rng, example_len)
-        self.train_step = make_train_step(
-            cfg.model, self.tx, mesh=mesh,
-            batch_chunk=s.train_batch_chunk)
+        n_model = 1
+        if mesh is not None:
+            try:
+                n_model = int(dict(mesh.shape).get("model", 1))
+            except Exception:
+                n_model = 1
+        if n_model > 1 and cfg.model.separator == "dpt":
+            # real model split: train through the head-group shard_map TP
+            # step (fused partial kernels per shard, parallel/dpt_tp.py);
+            # params/optimizer/checkpoints stay in the canonical layout so
+            # the rest of the solver is unchanged
+            from convtasnet_tpu.parallel.dpt_tp import make_dpt_tp_train_step
+
+            self.train_step = make_dpt_tp_train_step(
+                cfg.model, self.tx, self.state, mesh)
+        else:
+            if n_model > 1:
+                import sys as _sys
+
+                print("warning: mesh model axis > 1 with the TCN "
+                      "separator — the solver trains data-parallel only "
+                      "(use train/train_step.make_sharded_train_step for "
+                      "GSPMD TP)", file=_sys.stderr)
+            self.train_step = make_train_step(
+                cfg.model, self.tx, mesh=mesh,
+                batch_chunk=s.train_batch_chunk)
         self.eval_step = make_eval_step(cfg.model, mesh=mesh)
         self.steps_per_call = max(1, s.steps_per_call)
+        if self.steps_per_call > 1 and n_model > 1 \
+                and cfg.model.separator == "dpt":
+            import sys as _sys
+
+            print("warning: --steps-per-call > 1 is not supported by the "
+                  "TP train step yet; running one step per dispatch",
+                  file=_sys.stderr)
+            self.steps_per_call = 1
         self.multi_step = (
             make_multi_train_step(cfg.model, self.tx, mesh=mesh,
                                   batch_chunk=s.train_batch_chunk)

@@ -331,3 +331,48 @@ def test_partial_pairs_grads_match_autodiff():
                                   partial=True),
           lambda *a: xla_ffn(*a, partial=True),
           (x3, gamma, beta, wu, bu, wd, bd), 7)
+
+
+def test_solver_routes_dpt_to_tp_step(tmp_path):
+    """Solver + a 2-D (data x model) mesh + a dpt model trains through
+    make_dpt_tp_train_step end-to-end (one epoch; loss finite and the
+    state advances)."""
+    from convtasnet_tpu.config import (
+        DataConfig,
+        SolverConfig,
+        TrainConfig,
+    )
+    from convtasnet_tpu.train.solver import Solver
+
+    class FakeLoader:
+        def __init__(self, n_batches=2, B=4, T=800, seed=0):
+            rng = np.random.default_rng(seed)
+            self.batches = [
+                (jnp.asarray(rng.standard_normal((B, T)), jnp.float32),
+                 jnp.full((B,), T, jnp.int32),
+                 jnp.asarray(rng.standard_normal((B, 2, T)), jnp.float32),
+                 jnp.ones((B,), jnp.float32))
+                for _ in range(n_batches)]
+
+        def __iter__(self):
+            return iter(self.batches)
+
+        def __len__(self):
+            return len(self.batches)
+
+        def set_epoch(self, e):
+            pass
+
+    cfg = TrainConfig(
+        model=ConvTasNetConfig(**DPT),
+        data=DataConfig(segment=0.1, batch_size=4),
+        solver=SolverConfig(epochs=1, lr=1e-3, print_freq=1000,
+                            save_folder=str(tmp_path / "exp")))
+    mesh = make_mesh(n_data=2, n_model=4)
+    s = Solver(cfg, FakeLoader(), FakeLoader(n_batches=1), mesh=mesh)
+    from convtasnet_tpu.parallel import dpt_tp
+    assert s.train_step.__qualname__.startswith(
+        dpt_tp.make_dpt_tp_train_step.__name__), \
+        s.train_step.__qualname__
+    result = s.train()
+    assert np.isfinite(result["best_val_loss"])
