@@ -926,7 +926,34 @@ def make_dpt_tp_train_step(
     kwargs = {"donate_argnums": (0,)} if donate else {}
     jitted = jax.jit(step_fn, **kwargs)
 
+    def multi_fn(st, batches):
+        def body(s_, batch):
+            return step_fn(s_, batch)
+
+        return jax.lax.scan(body, st, batches)
+
+    jitted_multi = jax.jit(multi_fn, **({"donate_argnums": (0,)}
+                                        if donate else {}))
+
     degraded = []
+
+    def multi_with_probe(st, batches):
+        """``(state, batches[n_steps, ...]) -> (state, metrics[n_steps])``
+        — the ``make_multi_train_step`` contract, scanning the TP step so
+        several optimizer steps run per device dispatch."""
+        if n_model > 1 and not degraded:
+            ensure_probed_dpt_tp(
+                cfg, n_model, max(1, batches[0].shape[1] // n_data),
+                batches[0].shape[-1], train=True)
+        try:
+            return jitted_multi(st, batches)
+        except Exception:  # noqa: BLE001 — see step_with_probe
+            if degraded:
+                raise
+            degraded.append(True)
+            for k in [k for k in _TP_READY if k[0].endswith("-train")]:
+                _TP_READY[k] = None
+            return jitted_multi(st, batches)
 
     def step_with_probe(st, batch):
         # populate the partial fwd + train-pair registries for the
@@ -950,4 +977,5 @@ def make_dpt_tp_train_step(
                 _TP_READY[k] = None
             return jitted(st, batch)
 
+    step_with_probe.multi = multi_with_probe
     return step_with_probe

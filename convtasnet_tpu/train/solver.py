@@ -126,18 +126,16 @@ class Solver:
                 batch_chunk=s.train_batch_chunk)
         self.eval_step = make_eval_step(cfg.model, mesh=mesh)
         self.steps_per_call = max(1, s.steps_per_call)
-        if self.steps_per_call > 1 and n_model > 1 \
-                and cfg.model.separator == "dpt":
-            import sys as _sys
-
-            print("warning: --steps-per-call > 1 is not supported by the "
-                  "TP train step yet; running one step per dispatch",
-                  file=_sys.stderr)
-            self.steps_per_call = 1
-        self.multi_step = (
-            make_multi_train_step(cfg.model, self.tx, mesh=mesh,
-                                  batch_chunk=s.train_batch_chunk)
-            if self.steps_per_call > 1 else None)
+        if self.steps_per_call <= 1:
+            self.multi_step = None
+        elif hasattr(self.train_step, "multi"):
+            # the TP train step ships its own scan variant (same
+            # make_multi_train_step contract)
+            self.multi_step = self.train_step.multi
+        else:
+            self.multi_step = make_multi_train_step(
+                cfg.model, self.tx, mesh=mesh,
+                batch_chunk=s.train_batch_chunk)
 
         # LR / early-stop state machine (src/solver.py:73-76)
         self.start_epoch = 0

@@ -376,3 +376,45 @@ def test_solver_routes_dpt_to_tp_step(tmp_path):
         s.train_step.__qualname__
     result = s.train()
     assert np.isfinite(result["best_val_loss"])
+
+
+def test_dpt_tp_multi_step_matches_singles():
+    """The TP step's scan variant (steps-per-call) equals two single
+    steps applied in sequence."""
+    from convtasnet_tpu.config import SolverConfig
+    from convtasnet_tpu.parallel.dpt_tp import make_dpt_tp_train_step
+    from convtasnet_tpu.train.train_step import create_train_state
+
+    cfg = ConvTasNetConfig(**DPT)
+    T = 800
+    rng = np.random.default_rng(0)
+    Bt = 4
+
+    def mk_batch(seed):
+        r = np.random.default_rng(seed)
+        src = jnp.asarray(r.standard_normal((Bt, 2, T)) * 0.3, jnp.float32)
+        return (src.sum(axis=1), jnp.full((Bt,), T, jnp.int32), src,
+                jnp.ones((Bt,), jnp.float32))
+
+    b1, b2 = mk_batch(1), mk_batch(2)
+    mesh = make_mesh(n_data=2, n_model=4)
+
+    state1, tx1 = create_train_state(cfg, SolverConfig(),
+                                     jax.random.PRNGKey(0), T)
+    step = make_dpt_tp_train_step(cfg, tx1, state1, mesh, donate=False)
+    s, m1 = step(state1, b1)
+    s, m2 = step(s, b2)
+
+    state2, tx2 = create_train_state(cfg, SolverConfig(),
+                                     jax.random.PRNGKey(0), T)
+    step2 = make_dpt_tp_train_step(cfg, tx2, state2, mesh, donate=False)
+    stacked = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b]), b1, b2)
+    s_multi, mm = step2.multi(state2, stacked)
+    np.testing.assert_allclose(np.asarray(mm["loss"]),
+                               [float(m1["loss"]), float(m2["loss"])],
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s.params),
+                    jax.tree_util.tree_leaves(s_multi.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
