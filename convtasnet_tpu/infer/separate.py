@@ -73,16 +73,13 @@ def separate(
         return _separate_sequence_parallel(cfg, variables, out_dir, mix_dir,
                                            mix_json, sample_rate, write_mix,
                                            ring_attention=ring_attention)
-    if tensor_parallel > 1:
-        from convtasnet_tpu.infer.evaluate import _maybe_enable_pallas
-
-        return _separate_tensor_parallel(
-            _maybe_enable_pallas(cfg, use_pallas), variables, out_dir,
-            mix_dir, mix_json, sample_rate, write_mix, batch_size,
-            pad_to_multiple, tensor_parallel)
     from convtasnet_tpu.infer.evaluate import _maybe_enable_pallas
 
     cfg = _maybe_enable_pallas(cfg, use_pallas)
+    if tensor_parallel > 1:
+        return _separate_tensor_parallel(
+            cfg, variables, out_dir, mix_dir, mix_json, sample_rate,
+            write_mix, batch_size, pad_to_multiple, tensor_parallel)
     model = ConvTasNet(cfg)
     ds = EvalDataset(mix_dir=mix_dir, mix_json=mix_json,
                      batch_size=batch_size, sample_rate=sample_rate)
@@ -175,6 +172,11 @@ def _separate_tensor_parallel(cfg, variables, out_dir, mix_dir, mix_json,
     ds = EvalDataset(mix_dir=mix_dir, mix_json=mix_json,
                      batch_size=batch_size, sample_rate=sample_rate)
     os.makedirs(out_dir, exist_ok=True)
+
+    # jit once: without this every batch would re-split/re-stack the
+    # weights and re-trace the shard_map (a distinct [rows, T] shape still
+    # retraces, as any jit does)
+    run = jax.jit(lambda m: tp_forward(cfg, variables, m, mesh))
     n_written = 0
     for bi in range(len(ds)):
         mixture, lengths, names = ds.load_batch(
@@ -185,8 +187,7 @@ def _separate_tensor_parallel(cfg, variables, out_dir, mix_dir, mix_json,
             mixture = np.concatenate(
                 [mixture, np.repeat(mixture[-1:], rows_p - rows, axis=0)],
                 axis=0)
-        est = np.asarray(jax.device_get(
-            tp_forward(cfg, variables, jnp.asarray(mixture), mesh)))[:rows]
+        est = np.asarray(jax.device_get(run(jnp.asarray(mixture))))[:rows]
         est_list = remove_pad(est, lengths)
         mix_list = remove_pad(mixture[:rows], lengths)
         for b, name in enumerate(names):

@@ -265,10 +265,13 @@ def _probe_tp_sub(sub: str, key: tuple, candidates: dict, xla_fn, x,
 
 
 def _probe_tp_train_sub(sub: str, key: tuple, fused_grad, xla_grad, x,
-                        dtype, verbose: bool):
+                        dtype, verbose: bool, race: bool = True):
     """Probe one partial TRAIN pair: compile the fused custom-VJP x->dx,
     verify ALL cotangents against partial-XLA autodiff on-device, race on
-    time. Records True | None in ``_TP_READY`` under ``<sub>-train``."""
+    time (``race=False`` skips the timing race — used to re-verify a
+    disk-cached winner in a fresh process, same discipline as the
+    forward's cached path). Records True | None in ``_TP_READY`` under
+    ``<sub>-train``."""
     from convtasnet_tpu.ops.pallas.tcn_block import (
         _numerics_tol,
         _race,
@@ -291,15 +294,20 @@ def _probe_tp_train_sub(sub: str, key: tuple, fused_grad, xla_grad, x,
                   f"({type(err).__name__})", file=_sys.stderr)
         _TP_READY[(sub + "-train",) + key] = None
         return None
-    best_name, timed = _race({"fused": fused_grad}, xla_grad, x, inner=30)
-    best = best_name is not None
-    if verbose:
-        import sys as _sys
+    if race:
+        best_name, timed = _race({"fused": fused_grad}, xla_grad, x,
+                                 inner=30)
+        best = best_name is not None
+        if verbose:
+            import sys as _sys
 
-        detail = " ".join(f"{k_}={v * 1e3:.3f}ms"
-                          for k_, v in sorted(timed.items()))
-        print(f"dpt tp train probe {sub} {key}: best="
-              f"{'fused' if best else 'xla'} ({detail})", file=_sys.stderr)
+            detail = " ".join(f"{k_}={v * 1e3:.3f}ms"
+                              for k_, v in sorted(timed.items()))
+            print(f"dpt tp train probe {sub} {key}: best="
+                  f"{'fused' if best else 'xla'} ({detail})",
+                  file=_sys.stderr)
+    else:
+        best = True
     if best:
         tol = 2 * _numerics_tol(dtype)
         try:
@@ -552,24 +560,26 @@ def _probe_tp_train_all(cfg, shape_tag, att_key, x4, gamma, beta, w_qkv,
             lambda *a, _f=fused_ad, _kw={tile_kw: int(fwd_win)}:
             _f(*a, bias, n_heads=h_l, bwd=True, partial=True, **_kw),
             wargs)
+        xla_g = grad_fn(
+            lambda *a, _f=xla_ref: _f(*a, bias, n_heads=h_l,
+                                      partial=True),
+            wargs)
         if cached:
             win = cached.get("train")
-            _TP_READY[(sub + "-train",) + key] = True if win else None
             if verbose:
                 import sys as _sys
 
                 print(f"dpt tp train probe: winner loaded from disk "
                       f"({disk_key} -> {win})", file=_sys.stderr)
             if win:
-                try:
-                    jax.jit(fused_g).lower(x).compile()
-                except Exception:  # noqa: BLE001 — degrade to autodiff
-                    _TP_READY[(sub + "-train",) + key] = None
+                # compile AND cotangent-verify the cached pair in this
+                # process (cheap via the XLA disk cache); a mismatch
+                # degrades to autodiff
+                _probe_tp_train_sub(sub, key, fused_g, xla_g, x, dtype,
+                                    verbose, race=False)
+            else:
+                _TP_READY[(sub + "-train",) + key] = None
             continue
-        xla_g = grad_fn(
-            lambda *a, _f=xla_ref: _f(*a, bias, n_heads=h_l,
-                                      partial=True),
-            wargs)
         win = _probe_tp_train_sub(sub, key, fused_g, xla_g, x, dtype,
                                   verbose)
         _autotune_cache_store(disk_key, {"train": bool(win) if win
@@ -595,21 +605,20 @@ def _probe_tp_train_all(cfg, shape_tag, att_key, x4, gamma, beta, w_qkv,
         fused_g = grad_fn(
             lambda *a: fused_ffn_ad(*a, k_tile=int(fwd_win), bwd=True,
                                     partial=True), wargs)
+        xla_g = grad_fn(lambda *a: xla_ffn(*a, partial=True), wargs)
         if cached:
             win = cached.get("train")
-            _TP_READY[("ffn-train",) + ffn_key] = True if win else None
             if verbose:
                 import sys as _sys
 
                 print(f"dpt tp train probe: winner loaded from disk "
                       f"({disk_key} -> {win})", file=_sys.stderr)
             if win:
-                try:
-                    jax.jit(fused_g).lower(x3).compile()
-                except Exception:  # noqa: BLE001 — degrade to autodiff
-                    _TP_READY[("ffn-train",) + ffn_key] = None
+                _probe_tp_train_sub("ffn", ffn_key, fused_g, xla_g, x3,
+                                    dtype, verbose, race=False)
+            else:
+                _TP_READY[("ffn-train",) + ffn_key] = None
         else:
-            xla_g = grad_fn(lambda *a: xla_ffn(*a, partial=True), wargs)
             win = _probe_tp_train_sub("ffn", ffn_key, fused_g, xla_g, x3,
                                       dtype, verbose)
             _autotune_cache_store(disk_key, {"train": bool(win) if win
@@ -657,7 +666,7 @@ def _pvary_all(args, axes):
 
 
 def _tp_att(lp, x, bias, h_l, attend_axis, use_pallas, interpret,
-            model_axis, train=False):
+            model_axis, train=False, data_axis="data"):
     """One attention sublayer on this shard's head group + psum combine.
 
     x: [Ml, n, S, B] (replicated over model); lp holds the LOCAL weight
@@ -704,7 +713,7 @@ def _tp_att(lp, x, bias, h_l, attend_axis, use_pallas, interpret,
         if train:
             xv, gv, bv, wqv, wov, biv = _pvary_all(
                 (x, gamma, beta, w_qkv, w_out, bias),
-                ("data", model_axis))
+                (data_axis, model_axis))
             part = fused_ad(xv, gv, bv, wqv, wov, biv,
                             n_heads=h_l, bwd=True, interpret=interpret,
                             partial=True, **kw)
@@ -717,7 +726,8 @@ def _tp_att(lp, x, bias, h_l, attend_axis, use_pallas, interpret,
     return x + jax.lax.psum(part, model_axis)
 
 
-def _tp_ffn(lp, x, use_pallas, interpret, model_axis, train=False):
+def _tp_ffn(lp, x, use_pallas, interpret, model_axis, train=False,
+            data_axis="data"):
     """One FFN sublayer on this shard's hidden slice + psum combine.
 
     x: [Ml, Kp, B]; lp holds [1, B, Fl] / [1, Fl] / [1, Fl, B] local
@@ -745,7 +755,7 @@ def _tp_ffn(lp, x, use_pallas, interpret, model_axis, train=False):
         if train:
             xv, gv, bv, wuv, buv, wdv, bdv = _pvary_all(
                 (x, gamma, beta, w_up, b_up, w_dn, b_dn),
-                ("data", model_axis))
+                (data_axis, model_axis))
             part = fused_ffn_ad(xv, gv, bv, wuv, buv, wdv, bdv,
                                 k_tile=kt, bwd=True, interpret=interpret,
                                 partial=True)
@@ -760,7 +770,8 @@ def _tp_ffn(lp, x, use_pallas, interpret, model_axis, train=False):
 
 def _dpt_tp_shard_forward(cfg: ConvTasNetConfig, tpvars, mixture,
                           model_axis: str, n_model: int,
-                          train: bool = False):
+                          train: bool = False,
+                          data_axis: str = "data"):
     """Local forward: mixture [M_local, T]; separator layer weights are
     this shard's head-group/hidden slices. Mirrors
     ``models/dual_path.DualPathSeparator`` + encoder/decoder exactly
@@ -796,13 +807,17 @@ def _dpt_tp_shard_forward(cfg: ConvTasNetConfig, tpvars, mixture,
     for i in range(cfg.dpt_layers):
         lp = sep[f"layer_{i}"]
         x = _tp_att(lp["intra_att"], x, bias, h_l, 2, use_pallas,
-                    interpret, model_axis, train=train)
+                    interpret, model_axis, train=train,
+                    data_axis=data_axis)
         x = _tp_ffn(lp["intra_ffn"], x.reshape(M, Kp, B), use_pallas,
-                    interpret, model_axis, train=train).reshape(M, n, S, B)
+                    interpret, model_axis, train=train,
+                    data_axis=data_axis).reshape(M, n, S, B)
         x = _tp_att(lp["inter_att"], x, bias, h_l, 1, use_pallas,
-                    interpret, model_axis, train=train)
+                    interpret, model_axis, train=train,
+                    data_axis=data_axis)
         x = _tp_ffn(lp["inter_ffn"], x.reshape(M, Kp, B), use_pallas,
-                    interpret, model_axis, train=train).reshape(M, n, S, B)
+                    interpret, model_axis, train=train,
+                    data_axis=data_axis).reshape(M, n, S, B)
 
     x = _ln(sep["output_norm"], x).reshape(M, Kp, B)[:, :K]
     score = jax.nn.relu(x) @ sep["mask_conv"].astype(x.dtype)
@@ -861,7 +876,6 @@ def dpt_tp_forward(
 def make_dpt_tp_train_step(
     cfg: ConvTasNetConfig,
     tx,
-    state,
     mesh: Mesh,
     donate: bool = True,
     model_axis: str = "model",
@@ -896,7 +910,8 @@ def make_dpt_tp_train_step(
 
     def body(tpv, mixture, lengths, sources, weights):
         est = _dpt_tp_shard_forward(cfg, tpv, mixture, model_axis,
-                                    n_model, train=True)
+                                    n_model, train=True,
+                                    data_axis=data_axis)
         max_snr, _ = pit_si_snr(sources, est, lengths)
         lsum = -jnp.sum(max_snr * weights.astype(jnp.float32))
         return lsum[None]                   # [1] per data shard
@@ -937,45 +952,57 @@ def make_dpt_tp_train_step(
 
     degraded = []
 
+    def _call_with_degrade(jfn, rebuild, st, arg, batch0):
+        """Run the jitted step; if it fails to TRACE/LOWER with the fused
+        train pairs engaged (the probes validate each pair OUTSIDE the
+        shard_map; composing them INSIDE it is backend-dependent), clear
+        the train registries and retrace with partial-XLA autodiff —
+        training must not be blocked by a kernel-composition edge.
+
+        Only a before-first-execution failure is retried: ``jax.jit``
+        caches nothing on a trace error, and no buffer has been donated
+        yet, so the retry (a FRESH jit, no stale cache) sees intact
+        inputs. A failure on a later call (compiled executable exists)
+        re-raises — that is a runtime error degradation cannot fix.
+        """
+        if n_model > 1 and not degraded:
+            ensure_probed_dpt_tp(
+                cfg, n_model, max(1, batch0.shape[0] // n_data),
+                batch0.shape[-1], train=True)
+        first = key_first(jfn)
+        try:
+            return jfn(st, arg)
+        except Exception:  # noqa: BLE001 — vma/lowering failures
+            if degraded or not first:
+                raise
+            degraded.append(True)
+            for k in [k for k in _TP_READY if k[0].endswith("-train")]:
+                _TP_READY[k] = None
+            return rebuild()(st, arg)
+
+    _called: set = set()
+
+    def key_first(jfn):
+        k = id(jfn)
+        first = k not in _called
+        _called.add(k)
+        return first
+
     def multi_with_probe(st, batches):
         """``(state, batches[n_steps, ...]) -> (state, metrics[n_steps])``
         — the ``make_multi_train_step`` contract, scanning the TP step so
         several optimizer steps run per device dispatch."""
-        if n_model > 1 and not degraded:
-            ensure_probed_dpt_tp(
-                cfg, n_model, max(1, batches[0].shape[1] // n_data),
-                batches[0].shape[-1], train=True)
-        try:
-            return jitted_multi(st, batches)
-        except Exception:  # noqa: BLE001 — see step_with_probe
-            if degraded:
-                raise
-            degraded.append(True)
-            for k in [k for k in _TP_READY if k[0].endswith("-train")]:
-                _TP_READY[k] = None
-            return jitted_multi(st, batches)
+        return _call_with_degrade(
+            jitted_multi,
+            lambda: jax.jit(multi_fn, **({"donate_argnums": (0,)}
+                                         if donate else {})),
+            st, batches, batches[0][0])
 
     def step_with_probe(st, batch):
-        # populate the partial fwd + train-pair registries for the
-        # per-shard shape before tracing (idempotent; no-op on CPU)
-        if n_model > 1 and not degraded:
-            ensure_probed_dpt_tp(
-                cfg, n_model, max(1, batch[0].shape[0] // n_data),
-                batch[0].shape[-1], train=True)
-        try:
-            return jitted(st, batch)
-        except Exception:  # noqa: BLE001 — e.g. a vma/lowering failure
-            if degraded:
-                raise
-            # the probes validate each pair OUTSIDE the shard_map; if
-            # composing them INSIDE it fails to trace/lower on this
-            # backend, clear the train registries and retrace with
-            # partial-XLA autodiff — training must not be blocked by a
-            # kernel-composition edge
-            degraded.append(True)
-            for k in [k for k in _TP_READY if k[0].endswith("-train")]:
-                _TP_READY[k] = None
-            return jitted(st, batch)
+        return _call_with_degrade(
+            jitted,
+            lambda: jax.jit(step_fn, **kwargs),
+            st, batch, batch[0])
 
     step_with_probe.multi = multi_with_probe
     return step_with_probe

@@ -111,8 +111,14 @@ class Solver:
             # the rest of the solver is unchanged
             from convtasnet_tpu.parallel.dpt_tp import make_dpt_tp_train_step
 
+            if s.train_batch_chunk:
+                import sys as _sys
+
+                print("warning: --train-batch-chunk is ignored by the TP "
+                      "train step (full-batch gradients)",
+                      file=_sys.stderr)
             self.train_step = make_dpt_tp_train_step(
-                cfg.model, self.tx, self.state, mesh)
+                cfg.model, self.tx, mesh)
         else:
             if n_model > 1:
                 import sys as _sys

@@ -126,10 +126,10 @@ def test_partial_inter_and_ffn_combine_to_full():
                                np.asarray(full), rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("n_data,n_model", [(2, 4), (4, 2)])
-def test_dpt_tp_matches_unsharded(n_data, n_model):
+@pytest.mark.parametrize("n_data,n_model,T", [(2, 4, 1200),
+                                               (4, 2, 800)])
+def test_dpt_tp_matches_unsharded(n_data, n_model, T):
     cfg = ConvTasNetConfig(**DPT)
-    T = 1600
     variables = init_params(cfg, jax.random.PRNGKey(0), example_len=T)
     mix = jax.random.normal(jax.random.PRNGKey(1), (4, T))
     want = np.asarray(ConvTasNet(cfg).apply(variables, mix, train=False))
@@ -142,7 +142,7 @@ def test_dpt_tp_matches_unsharded(n_data, n_model):
 
 def test_dpt_tp_xla_fallback_matches():
     cfg = ConvTasNetConfig(**DPT, use_pallas=False)
-    T = 1200
+    T = 800
     variables = init_params(cfg, jax.random.PRNGKey(0), example_len=T)
     mix = jax.random.normal(jax.random.PRNGKey(2), (2, T))
     want = np.asarray(ConvTasNet(cfg).apply(variables, mix, train=False))
@@ -242,8 +242,9 @@ def test_dpt_tp_train_step_matches_unsharded(use_pallas):
         make_train_step,
     )
 
-    cfg = ConvTasNetConfig(**DPT, use_pallas=use_pallas)
-    T = 1600
+    cfg = ConvTasNetConfig(**{**DPT, "dpt_layers": 1},
+                           use_pallas=use_pallas)
+    T = 800
     scfg = SolverConfig()
     rng = np.random.default_rng(0)
     Bt = 4
@@ -257,7 +258,7 @@ def test_dpt_tp_train_step_matches_unsharded(use_pallas):
 
     state2, tx2 = create_train_state(cfg, scfg, jax.random.PRNGKey(0), T)
     mesh = make_mesh(n_data=2, n_model=4)
-    step = make_dpt_tp_train_step(cfg, tx2, state2, mesh, donate=False)
+    step = make_dpt_tp_train_step(cfg, tx2, mesh, donate=False)
     s_tp, m_tp = step(state2, batch)
 
     np.testing.assert_allclose(float(m_tp["loss"]), float(m_ref["loss"]),
@@ -364,7 +365,7 @@ def test_solver_routes_dpt_to_tp_step(tmp_path):
             pass
 
     cfg = TrainConfig(
-        model=ConvTasNetConfig(**DPT),
+        model=ConvTasNetConfig(**{**DPT, "dpt_layers": 1}),
         data=DataConfig(segment=0.1, batch_size=4),
         solver=SolverConfig(epochs=1, lr=1e-3, print_freq=1000,
                             save_folder=str(tmp_path / "exp")))
@@ -385,7 +386,7 @@ def test_dpt_tp_multi_step_matches_singles():
     from convtasnet_tpu.parallel.dpt_tp import make_dpt_tp_train_step
     from convtasnet_tpu.train.train_step import create_train_state
 
-    cfg = ConvTasNetConfig(**DPT)
+    cfg = ConvTasNetConfig(**{**DPT, "dpt_layers": 1})
     T = 800
     rng = np.random.default_rng(0)
     Bt = 4
@@ -401,13 +402,13 @@ def test_dpt_tp_multi_step_matches_singles():
 
     state1, tx1 = create_train_state(cfg, SolverConfig(),
                                      jax.random.PRNGKey(0), T)
-    step = make_dpt_tp_train_step(cfg, tx1, state1, mesh, donate=False)
+    step = make_dpt_tp_train_step(cfg, tx1, mesh, donate=False)
     s, m1 = step(state1, b1)
     s, m2 = step(s, b2)
 
     state2, tx2 = create_train_state(cfg, SolverConfig(),
                                      jax.random.PRNGKey(0), T)
-    step2 = make_dpt_tp_train_step(cfg, tx2, state2, mesh, donate=False)
+    step2 = make_dpt_tp_train_step(cfg, tx2, mesh, donate=False)
     stacked = jax.tree_util.tree_map(
         lambda a, b: jnp.stack([a, b]), b1, b2)
     s_multi, mm = step2.multi(state2, stacked)
