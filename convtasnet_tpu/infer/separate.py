@@ -94,7 +94,27 @@ def separate(
         return apply_batch_chunked(model, variables, mixture,
                                    chunk=batch_chunk, train=False)
 
+    def _write(est_dev, mixture, lengths, names):
+        est = np.asarray(jax.device_get(est_dev))
+        est_list = remove_pad(est, lengths)
+        mix_list = remove_pad(mixture, lengths)
+        written = 0
+        for b, name in enumerate(names):
+            stem = os.path.splitext(os.path.basename(name))[0]
+            if write_mix:
+                write_wav(os.path.join(out_dir, stem + ".wav"),
+                          mix_list[b], sample_rate)
+            for c in range(cfg.num_speakers):
+                write_wav(os.path.join(out_dir, f"{stem}_s{c + 1}.wav"),
+                          est_list[b][c], sample_rate)
+            written += 1
+        return written
+
+    # one-deep pipeline: dispatch batch i+1 (jax is async — `run` returns
+    # a future-like array) BEFORE collecting batch i, so host-side decode
+    # and wav writes overlap device compute (and the device link's RTT)
     n_written = 0
+    pending = None
     for bi in range(len(ds)):
         mixture, lengths, names = ds.load_batch(bi, pad_to_multiple=pad_to_multiple)
         if cfg.use_pallas:
@@ -105,18 +125,12 @@ def separate(
                     and rows % batch_chunk == 0:
                 rows = batch_chunk
             ensure_probed(cfg, rows, mixture.shape[1])
-        est = np.asarray(jax.device_get(run(jnp.asarray(mixture))))
-        est_list = remove_pad(est, lengths)
-        mix_list = remove_pad(mixture, lengths)
-        for b, name in enumerate(names):
-            stem = os.path.splitext(os.path.basename(name))[0]
-            if write_mix:
-                write_wav(os.path.join(out_dir, stem + ".wav"),
-                          mix_list[b], sample_rate)
-            for c in range(cfg.num_speakers):
-                write_wav(os.path.join(out_dir, f"{stem}_s{c + 1}.wav"),
-                          est_list[b][c], sample_rate)
-            n_written += 1
+        est_dev = run(jnp.asarray(mixture))
+        if pending is not None:
+            n_written += _write(*pending)
+        pending = (est_dev, mixture, lengths, names)
+    if pending is not None:
+        n_written += _write(*pending)
     return n_written
 
 
