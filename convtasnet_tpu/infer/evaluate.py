@@ -107,7 +107,36 @@ def evaluate(
         return est, si_snri
 
     total_sisnri, total_sdri, count = 0.0, 0.0, 0
+
+    def _consume(est_dev, si_dev, batch):
+        nonlocal total_sisnri, total_sdri, count
+        si_snri = np.asarray(jax.device_get(si_dev))
+        for b in range(len(si_snri)):
+            count += 1
+            total_sisnri += float(si_snri[b])
+            if verbose:
+                print(f"Utt {count}: SI-SNRi {float(si_snri[b]):.2f} dB", flush=True)
+            if cal_sdr:
+                from convtasnet_tpu.infer.bss_eval import bss_eval_sources
+
+                n = int(batch.lengths[b])
+                src_np = batch.sources[b, :, :n]
+                mix_np = batch.mixture[b, :n]
+                est_np = np.asarray(est_dev[b])[:, :n]
+                sdr, _, _, _ = bss_eval_sources(src_np, est_np)
+                sdr_mix, _, _, _ = bss_eval_sources(
+                    src_np, np.tile(mix_np, (cfg.num_speakers, 1)),
+                    compute_permutation=False)
+                sdri = float(np.mean(sdr - sdr_mix))
+                total_sdri += sdri
+                if verbose:
+                    print(f"Utt {count}: SDRi {sdri:.2f} dB", flush=True)
+
+    # one-deep pipeline: dispatch batch i+1 before collecting batch i so
+    # host-side work (decode; BSS-Eval under --cal-sdr, which dominates)
+    # overlaps device compute and the device link's RTT
     n_batches = len(ds) if max_batches is None else min(len(ds), max_batches)
+    pending = None
     for bi in range(n_batches):
         batch = ds.load_batch(bi, pad_to_multiple=pad_to_multiple)
         if cfg.use_pallas:
@@ -121,27 +150,11 @@ def evaluate(
         est, si_snri = run(
             jnp.asarray(batch.mixture), jnp.asarray(batch.sources),
             jnp.asarray(batch.lengths))
-        si_snri = np.asarray(jax.device_get(si_snri))
-        for b in range(len(si_snri)):
-            count += 1
-            total_sisnri += float(si_snri[b])
-            if verbose:
-                print(f"Utt {count}: SI-SNRi {float(si_snri[b]):.2f} dB", flush=True)
-            if cal_sdr:
-                from convtasnet_tpu.infer.bss_eval import bss_eval_sources
-
-                n = int(batch.lengths[b])
-                src_np = batch.sources[b, :, :n]
-                mix_np = batch.mixture[b, :n]
-                est_np = np.asarray(est[b])[:, :n]
-                sdr, _, _, _ = bss_eval_sources(src_np, est_np)
-                sdr_mix, _, _, _ = bss_eval_sources(
-                    src_np, np.tile(mix_np, (cfg.num_speakers, 1)),
-                    compute_permutation=False)
-                sdri = float(np.mean(sdr - sdr_mix))
-                total_sdri += sdri
-                if verbose:
-                    print(f"Utt {count}: SDRi {sdri:.2f} dB", flush=True)
+        if pending is not None:
+            _consume(*pending)
+        pending = (est, si_snri, batch)
+    if pending is not None:
+        _consume(*pending)
     result = {"si_snri": total_sisnri / max(count, 1)}
     if cal_sdr:
         result["sdri"] = total_sdri / max(count, 1)
