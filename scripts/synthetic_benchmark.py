@@ -96,7 +96,12 @@ def main(argv=None) -> int:
                     help="dual-path intra-chunk length (0 = config default)")
     ap.add_argument("--dpt-heads", type=int, default=0,
                     help="override dpt attention heads (0 = config default)")
+    ap.add_argument("--dpt-layers", type=int, default=0,
+                    help="override dual-path layer count (0 = default)")
     ap.add_argument("--steps-per-call", type=int, default=1)
+    ap.add_argument("--n-model", type=int, default=1,
+                    help="model-parallel mesh axis (dpt: fused-kernel "
+                         "shard_map TP train step)")
     ap.add_argument("--sample-rate", type=int, default=8000)
     ap.add_argument("--L", type=int, default=20,
                     help="encoder filter length (40 keeps the 2.5 ms paper "
@@ -137,7 +142,9 @@ def main(argv=None) -> int:
         "--print-freq", "5", "--compute-dtype", "bfloat16",
         "--steps-per-call", str(a.steps_per_call),
         "--use-pallas", str(a.use_pallas),
+        "--n-model", str(a.n_model),
     ] + (["--dpt-heads", str(a.dpt_heads)] if a.dpt_heads else [])
+      + (["--dpt-layers", str(a.dpt_layers)] if a.dpt_layers else [])
       + (["--dpt-chunk", str(a.dpt_chunk)] if a.dpt_chunk else [])
       + (["--continue-from", a.continue_from] if a.continue_from else []))
     from convtasnet_tpu.infer.evaluate import evaluate
