@@ -197,6 +197,79 @@ def _cln_full(y, gamma, beta):
     return ((yf - mean) * jax.lax.rsqrt(var + EPS) * gamma + beta).astype(y.dtype)
 
 
+def _tp_shard_forward_gln(cfg: ConvTasNetConfig, variables, mixture,
+                          axis: str, interpret: bool):
+    """Local forward for gLN models: the two-psum-per-block decomposition
+    from ``ops/pallas/tcn_block_tp`` (stage 1 → stats psum → stage 2 →
+    combined psum → epilogue). Stage 2 runs the fused Pallas kernel on the
+    dilations ``ensure_probed_tcn_tp`` approved for this shard shape and
+    the XLA stage 2 elsewhere — the decomposition (and its collectives)
+    never varies, only the per-shard implementation. 3 psums per block vs
+    7 for the generic ``_norm_tp`` path.
+    """
+    from convtasnet_tpu.models.functional import block_names
+    from convtasnet_tpu.ops.pallas.tcn_block_tp import (
+        fused_tp_stage2,
+        stats_from_sums,
+        tcn_tp_ready,
+        tp_epilogue,
+        tp_stage1,
+        tp_variant_params,
+        xla_tp_stage2,
+    )
+
+    params = variables["params"]
+    x_in = mixture.astype(jnp.dtype(cfg.compute_dtype))
+    frames = frame_signal(x_in, cfg.kernel_size, cfg.stride)
+    w = encode_frames(params["encoder"], frames)
+    sep = params["separator"]
+
+    from convtasnet_tpu.ops.conv import pointwise_conv
+
+    y = _cln_full(w, sep["input_norm"]["gamma"], sep["input_norm"]["beta"])
+    y = pointwise_conv(y, sep["bottleneck"].astype(y.dtype))
+    K = y.shape[1]
+    H = cfg.hidden
+    n = K * H
+    dt = str(jnp.dtype(cfg.compute_dtype))
+    for name, dilation in block_names(cfg):
+        blk = sep[name]
+        w_out = blk["pwconv"]
+        g1, b1 = blk["norm1"]["gamma"], blk["norm1"]["beta"]
+        g2, b2 = blk["norm2"]["gamma"], blk["norm2"]["beta"]
+        h, sums1 = tp_stage1(y, blk["conv1x1"], blk["prelu1"])
+        stats1 = stats_from_sums(jax.lax.psum(sums1, axis), n)
+        Hs = h.shape[-1]
+        variant = tcn_tp_ready(dilation, K, Hs, w_out.shape[1], cfg.causal,
+                               dt, interpret) if cfg.use_pallas else None
+        if variant is not None:
+            tile, hdt = tp_variant_params(variant)
+            kw = {"tile": tile} if tile else {}
+            z, sums2 = fused_tp_stage2(
+                h, stats1, blk["dwconv"], w_out, blk["prelu2"], g1, b1, g2,
+                dilation=dilation, causal=cfg.causal, h_dtype=hdt,
+                interpret=interpret, **kw)
+        else:
+            z, sums2 = xla_tp_stage2(
+                h, stats1, blk["dwconv"], w_out, blk["prelu2"], g1, b1, g2,
+                dilation=dilation, causal=cfg.causal)
+        w_f = w_out.astype(jnp.float32)
+        w1 = jnp.einsum("h,hb->b", g2.astype(jnp.float32), w_f)
+        w0 = jnp.einsum("h,hb->b", b2.astype(jnp.float32), w_f)
+        z, sums2, w1, w0 = jax.lax.psum((z, sums2, w1, w0), axis)
+        y = tp_epilogue(y, z, stats_from_sums(sums2, n), w1, w0)
+    from convtasnet_tpu.models.functional import mask_from_scores
+
+    score = pointwise_conv(y, sep["mask_conv"].astype(y.dtype))
+    mask = mask_from_scores(cfg, score)
+    est = decode_frames(params["decoder"], w, mask)
+    out = overlap_and_add(est, cfg.stride).astype(jnp.float32)
+    T = mixture.shape[-1]
+    if out.shape[-1] < T:
+        out = jnp.pad(out, ((0, 0), (0, 0), (0, T - out.shape[-1])))
+    return out
+
+
 def _tp_shard_forward(cfg: ConvTasNetConfig, variables, mixture, axis: str):
     """Local forward: mixture [M_local, T]; H-dim params are local shards."""
     params = variables["params"]
@@ -258,8 +331,29 @@ def tp_forward(
     if cfg.separator != "tcn":
         raise ValueError(f"unsupported separator family: {cfg.separator}")
     specs = param_partition_specs(cfg, variables)
+    n_model = int(dict(mesh.shape).get(model_axis, 1))
+    n_data = int(dict(mesh.shape).get(data_axis, 1))
+    if n_model > 1 and cfg.norm_type == "gLN" and cfg.use_pallas:
+        # populate the fused stage-2 registry for the per-shard shape
+        # (idempotent; no-op on CPU / non-gLN / lane-unaligned widths)
+        from convtasnet_tpu.ops.pallas.tcn_block_tp import (
+            ensure_probed_tcn_tp,
+        )
+
+        ensure_probed_tcn_tp(cfg, n_model,
+                             max(1, mixture.shape[0] // n_data),
+                             mixture.shape[-1])
+    if cfg.norm_type == "gLN":
+        # stage-split decomposition with per-dilation fused Pallas stage 2
+        # (ops/pallas/tcn_block_tp): 3 psums per block instead of 7, and
+        # the block body stays VMEM-resident on probed dilations.
+        interpret = jax.default_backend() == "cpu"
+        body = functools.partial(_tp_shard_forward_gln, cfg,
+                                 axis=model_axis, interpret=interpret)
+    else:
+        body = functools.partial(_tp_shard_forward, cfg, axis=model_axis)
     fn = jax.shard_map(
-        functools.partial(_tp_shard_forward, cfg, axis=model_axis),
+        body,
         mesh=mesh,
         in_specs=(specs, P(data_axis, None)),
         out_specs=P(data_axis, None, None),
