@@ -123,10 +123,12 @@ def _add_solver_flags(p: argparse.ArgumentParser) -> None:
     g.add_argument("--n-data", type=int, default=-1,
                    help="devices on the data-parallel mesh axis (-1 = all)")
     g.add_argument("--n-model", type=int, default=1,
-                   help="devices on the model-parallel mesh axis; with "
-                        "--separator dpt the solver trains through the "
-                        "head-group shard_map TP step (fused kernels per "
-                        "shard, parallel/dpt_tp.py)")
+                   help="devices on the model-parallel mesh axis; the "
+                        "solver trains through the explicit shard_map TP "
+                        "step — dpt: head-group split with fused kernels "
+                        "per shard (parallel/dpt_tp.py); tcn gLN/cLN: "
+                        "hidden-dim split with the fused stage-2 pair "
+                        "(parallel/tensor_parallel.py)")
 
 
 def _cfg_from_args(a: argparse.Namespace) -> TrainConfig:
@@ -478,7 +480,7 @@ def main(argv=None) -> int:
                    help="model-axis size m > 1: serve over a (data x "
                         "model) mesh — TCN hidden dim / dual-path head "
                         "groups Megatron-split, fused kernels per shard "
-                        "for dpt (parallel/dpt_tp.py)")
+                        "(parallel/dpt_tp.py, ops/pallas/tcn_block_tp.py)")
     p.set_defaults(fn=cmd_separate)
 
     p = sub.add_parser("stream-demo",

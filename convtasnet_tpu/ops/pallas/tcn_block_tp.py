@@ -306,11 +306,60 @@ def fused_tp_stage2(
 
 
 # --------------------------------------------------------------------------
+# Custom-VJP pair: training through the fused stage 2.
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def tp_stage2_ad(static, h, stats1, dw, w_out, a2, gamma1, beta1, gamma2):
+    """Stage 2 with a custom VJP for the TP TRAIN step.
+
+    Forward runs the fused kernel when ``static = (dilation, causal,
+    variant, interpret)`` carries a probed variant (else the XLA stage 2);
+    backward rematerializes through XLA autodiff of the mathematically
+    identical ``xla_tp_stage2`` at the saved inputs — the standard remat
+    backward for a Pallas forward. ``ensure_probed_tcn_tp(...,
+    train=True)`` verifies every cotangent against plain autodiff
+    on-device and only records a win when fused-fwd + remat-bwd beats XLA
+    autodiff end-to-end, so a variant that wins the forward race but loses
+    after the recompute never engages in training.
+    """
+    dilation, causal, variant, interpret = static
+    if variant is not None:
+        tile, hdt = tp_variant_params(variant)
+        kw = {"tile": tile} if tile is not None else {}
+        return fused_tp_stage2(h, stats1, dw, w_out, a2, gamma1, beta1,
+                               gamma2, dilation=dilation, causal=causal,
+                               h_dtype=hdt, interpret=interpret, **kw)
+    return xla_tp_stage2(h, stats1, dw, w_out, a2, gamma1, beta1, gamma2,
+                         dilation=dilation, causal=causal)
+
+
+def _tp_stage2_fwd(static, h, stats1, dw, w_out, a2, gamma1, beta1, gamma2):
+    out = tp_stage2_ad(static, h, stats1, dw, w_out, a2, gamma1, beta1,
+                       gamma2)
+    return out, (h, stats1, dw, w_out, a2, gamma1, beta1, gamma2)
+
+
+def _tp_stage2_bwd(static, res, ct):
+    dilation, causal = static[0], static[1]
+    _, vjp = jax.vjp(
+        functools.partial(xla_tp_stage2, dilation=dilation, causal=causal),
+        *res)
+    return vjp(ct)
+
+
+tp_stage2_ad.defvjp(_tp_stage2_fwd, _tp_stage2_bwd)
+
+
+# --------------------------------------------------------------------------
 # Probe / autotune registry (same discipline as dpt_tp / tcn_block).
 # --------------------------------------------------------------------------
 
 # (dilation, K, Hs, B, causal, dt) -> "t<tile>[_f32]" | None (XLA stage 2)
 _TCN_TP_READY: dict = {}
+# same key -> True | None: whether the fused custom-VJP pair beat XLA
+# autodiff (and matched its cotangents) for the TRAIN step
+_TCN_TP_TRAIN: dict = {}
 _TCN_TP_PROBED: set = set()
 
 
@@ -322,6 +371,16 @@ def tcn_tp_ready(dilation: int, K: int, Hs: int, B: int, causal: bool,
     if interpret:
         return "auto"
     return _TCN_TP_READY.get((dilation, K, Hs, B, causal, dt))
+
+
+def tcn_tp_train_ready(dilation: int, K: int, Hs: int, B: int, causal: bool,
+                       dt: str) -> bool:
+    """Whether the fused custom-VJP stage-2 pair won the TRAIN probe for
+    this shape (``ensure_probed_tcn_tp(..., train=True)``). Never true in
+    interpret mode — Pallas' HLO-interpreter internals can't trace under
+    the vma-checked train shard_map."""
+    return _TCN_TP_TRAIN.get(
+        ("tcn-tp-train", dilation, K, Hs, B, causal, dt)) is not None
 
 
 def tp_variant_params(variant) -> Tuple[Optional[int], Optional[object]]:
@@ -339,11 +398,17 @@ def _candidate_tiles(K: int) -> list:
 
 
 def ensure_probed_tcn_tp(cfg, n_model: int, batch: int, T: int,
-                         verbose: bool = True) -> None:
+                         verbose: bool = True, train: bool = False) -> None:
     """Probe the fused stage-2 kernel at the local width an ``n_model``-way
     hidden split produces, for a per-device ``[batch, T]`` input
     (idempotent; no-op on CPU / non-gLN / unaligned widths). Winners
     persist in the shared autotune cache under ``tcn:tp:*`` keys.
+
+    ``train=True`` additionally probes the custom-VJP pair
+    (``tp_stage2_ad``: fused fwd + remat bwd) per dilation that has a
+    forward winner — all 8 cotangents verified against XLA autodiff
+    on-device, then raced end-to-end — recording go/no-go under
+    ``tcn:tp:train:*`` keys for ``tcn_tp_train_ready``.
 
     Runs on a single device: a TP shard executes exactly this shape, so
     one chip's probe validates and times what every shard will run.
@@ -373,7 +438,8 @@ def ensure_probed_tcn_tp(cfg, n_model: int, batch: int, T: int,
     dtype = jnp.dtype(cfg.compute_dtype)
     dt = str(dtype)
     shape_tag = f"{batch}:{K}:{Hs}:{B}:{int(cfg.causal)}:{dt}"
-    if shape_tag in _TCN_TP_PROBED:
+    if shape_tag in _TCN_TP_PROBED and (
+            not train or shape_tag + ":train" in _TCN_TP_PROBED):
         return
     rng = np.random.default_rng(0)
     h = jnp.asarray(rng.standard_normal((batch, K, Hs)), dtype)
@@ -403,7 +469,9 @@ def ensure_probed_tcn_tp(cfg, n_model: int, batch: int, T: int,
         return g
 
     dilations = sorted({2 ** x for x in range(cfg.num_blocks)})
-    for d in dilations:
+    # the forward phase may already be done (probed set) when a train=True
+    # call follows a forward-only one in the same process
+    for d in ([] if shape_tag in _TCN_TP_PROBED else dilations):
         key = (d, K, Hs, B, cfg.causal, dt)
         disk_key = f"tcn:tp:d{d}:" + shape_tag
         cached = _autotune_cache_load().get(disk_key)  # {} falsy: re-probe
@@ -503,3 +571,51 @@ def ensure_probed_tcn_tp(cfg, n_model: int, batch: int, T: int,
         if not cached:
             _autotune_cache_store(disk_key, {"variant": best})
     _TCN_TP_PROBED.add(shape_tag)
+
+    if not train:
+        return
+    from convtasnet_tpu.parallel.dpt_tp import _probe_tp_train_sub
+
+    def make_grad(stage2):
+        def f(hh, full=False):
+            def loss(*a):
+                z, s = stage2(*a)
+                return jnp.sum(z.astype(jnp.float32)) + jnp.sum(s)
+
+            args = (hh, stats1, dw, w_out, a2, g1, b1, g2)
+            if full:
+                return jax.grad(loss, argnums=tuple(range(8)))(*args)
+            return jax.grad(loss)(*args)
+
+        return f
+
+    for d in dilations:
+        key = (d, K, Hs, B, cfg.causal, dt)
+        rkey = ("tcn-tp-train",) + key
+        if rkey in _TCN_TP_TRAIN:
+            continue
+        win = _TCN_TP_READY.get(key)
+        if win is None:  # no fused forward: nothing to pair
+            _TCN_TP_TRAIN[rkey] = None
+            continue
+        disk_key = f"tcn:tp:train:d{d}:" + shape_tag
+        cached = _autotune_cache_load().get(disk_key)
+        if cached and not cached.get("win"):
+            _TCN_TP_TRAIN[rkey] = None
+            if verbose:
+                import sys as _sys
+
+                print(f"tcn tp train probe d={d}: cached no-go "
+                      f"({disk_key})", file=_sys.stderr)
+            continue
+        static = (d, cfg.causal, win, False)
+        fused_g = make_grad(lambda *a, _s=static: tp_stage2_ad(_s, *a))
+        xla_g = make_grad(
+            lambda *a, _d=d: xla_tp_stage2(*a, dilation=_d,
+                                           causal=cfg.causal))
+        res = _probe_tp_train_sub(
+            "tcn-tp", key, fused_g, xla_g, h, dtype, verbose,
+            race=not cached, registry=_TCN_TP_TRAIN, tag="tcn tp")
+        if not cached:
+            _autotune_cache_store(disk_key, {"win": bool(res)})
+    _TCN_TP_PROBED.add(shape_tag + ":train")

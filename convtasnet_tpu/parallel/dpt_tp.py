@@ -265,19 +265,24 @@ def _probe_tp_sub(sub: str, key: tuple, candidates: dict, xla_fn, x,
 
 
 def _probe_tp_train_sub(sub: str, key: tuple, fused_grad, xla_grad, x,
-                        dtype, verbose: bool, race: bool = True):
+                        dtype, verbose: bool, race: bool = True,
+                        registry: dict = None, tag: str = "dpt tp"):
     """Probe one partial TRAIN pair: compile the fused custom-VJP x->dx,
     verify ALL cotangents against partial-XLA autodiff on-device, race on
     time (``race=False`` skips the timing race — used to re-verify a
     disk-cached winner in a fresh process, same discipline as the
-    forward's cached path). Records True | None in ``_TP_READY`` under
-    ``<sub>-train``."""
+    forward's cached path). Records True | None in ``registry`` (default
+    ``_TP_READY``) under ``<sub>-train``. Also the train-probe body for
+    the TCN TP stage-2 pair (``ops/pallas/tcn_block_tp``), which passes
+    its own registry."""
     from convtasnet_tpu.ops.pallas.tcn_block import (
         _numerics_tol,
         _race,
         _rel_err,
     )
 
+    if registry is None:
+        registry = _TP_READY
     err = None
     for _ in range(3):
         try:
@@ -290,9 +295,9 @@ def _probe_tp_train_sub(sub: str, key: tuple, fused_grad, xla_grad, x,
         if verbose:
             import sys as _sys
 
-            print(f"dpt tp train probe {sub} {key}: compile failed "
+            print(f"{tag} train probe {sub} {key}: compile failed "
                   f"({type(err).__name__})", file=_sys.stderr)
-        _TP_READY[(sub + "-train",) + key] = None
+        registry[(sub + "-train",) + key] = None
         return None
     if race:
         best_name, timed = _race({"fused": fused_grad}, xla_grad, x,
@@ -303,7 +308,7 @@ def _probe_tp_train_sub(sub: str, key: tuple, fused_grad, xla_grad, x,
 
             detail = " ".join(f"{k_}={v * 1e3:.3f}ms"
                               for k_, v in sorted(timed.items()))
-            print(f"dpt tp train probe {sub} {key}: best="
+            print(f"{tag} train probe {sub} {key}: best="
                   f"{'fused' if best else 'xla'} ({detail})",
                   file=_sys.stderr)
     else:
@@ -323,13 +328,13 @@ def _probe_tp_train_sub(sub: str, key: tuple, fused_grad, xla_grad, x,
             import sys as _sys
 
             state = "ok" if ok else "REJECTED"
-            print(f"dpt tp train probe {sub} {key}: grads vs autodiff "
+            print(f"{tag} train probe {sub} {key}: grads vs autodiff "
                   f"(tol {tol:g}): max rel err {merr:.2e} [{state}]",
                   file=_sys.stderr)
         if not ok:
             best = False
     win = True if best else None
-    _TP_READY[(sub + "-train",) + key] = win
+    registry[(sub + "-train",) + key] = win
     return win
 
 

@@ -167,19 +167,22 @@ def _dpt_partition_specs(cfg: ConvTasNetConfig, variables: Dict[str, Any]):
 def _norm_tp(y, prm, stats, cfg, axis):
     """Norm over the channel-sharded hidden dim. y: [M, K, H_local]."""
     yf = y.astype(jnp.float32)
+    # element counts are static (local size x axis size) — a psum of a
+    # constant would be rejected by vma-checked tracing (training
+    # differentiates through this body) and is dead weight anyway
+    n_shards = jax.lax.axis_size(axis)
     if cfg.norm_type == "gLN":
         # per-sample stats over (K, H): psum two scalars per sample
         s1 = jax.lax.psum(jnp.sum(yf, axis=(1, 2)), axis)     # [M]
         s2 = jax.lax.psum(jnp.sum(yf * yf, axis=(1, 2)), axis)
-        n = jax.lax.psum(
-            jnp.full((), yf.shape[1] * yf.shape[2], jnp.float32), axis)
+        n = jnp.float32(yf.shape[1] * yf.shape[2] * n_shards)
         mean = (s1 / n)[:, None, None]
         var = (s2 / n)[:, None, None] - mean * mean
     elif cfg.norm_type == "cLN":
         # per-(sample, frame) stats over H: psum [M, K] row sums
         s1 = jax.lax.psum(jnp.sum(yf, axis=-1), axis)         # [M, K]
         s2 = jax.lax.psum(jnp.sum(yf * yf, axis=-1), axis)
-        n = jax.lax.psum(jnp.full((), yf.shape[-1], jnp.float32), axis)
+        n = jnp.float32(yf.shape[-1] * n_shards)
         mean = (s1 / n)[..., None]
         var = (s2 / n)[..., None] - mean * mean
     else:  # BN eval: stats are sharded per-channel, local affine
@@ -198,7 +201,8 @@ def _cln_full(y, gamma, beta):
 
 
 def _tp_shard_forward_gln(cfg: ConvTasNetConfig, variables, mixture,
-                          axis: str, interpret: bool):
+                          axis: str, interpret: bool, train: bool = False,
+                          data_axis: str = "data"):
     """Local forward for gLN models: the two-psum-per-block decomposition
     from ``ops/pallas/tcn_block_tp`` (stage 1 → stats psum → stage 2 →
     combined psum → epilogue). Stage 2 runs the fused Pallas kernel on the
@@ -206,17 +210,27 @@ def _tp_shard_forward_gln(cfg: ConvTasNetConfig, variables, mixture,
     the XLA stage 2 elsewhere — the decomposition (and its collectives)
     never varies, only the per-shard implementation. 3 psums per block vs
     7 for the generic ``_norm_tp`` path.
+
+    ``train=True`` (the TP train step differentiates through this body
+    under a vma-checked shard_map) routes stage 2 through the custom-VJP
+    pair ``tp_stage2_ad`` on dilations where the train probe recorded a
+    win, else plain autodiff of the XLA stage 2. Fused train never engages
+    in interpret mode (Pallas' HLO interpreter can't trace under vma
+    checking).
     """
     from convtasnet_tpu.models.functional import block_names
     from convtasnet_tpu.ops.pallas.tcn_block_tp import (
         fused_tp_stage2,
         stats_from_sums,
         tcn_tp_ready,
+        tcn_tp_train_ready,
         tp_epilogue,
         tp_stage1,
+        tp_stage2_ad,
         tp_variant_params,
         xla_tp_stage2,
     )
+    from convtasnet_tpu.parallel.dpt_tp import _pvary_all
 
     params = variables["params"]
     x_in = mixture.astype(jnp.dtype(cfg.compute_dtype))
@@ -242,7 +256,22 @@ def _tp_shard_forward_gln(cfg: ConvTasNetConfig, variables, mixture,
         Hs = h.shape[-1]
         variant = tcn_tp_ready(dilation, K, Hs, w_out.shape[1], cfg.causal,
                                dt, interpret) if cfg.use_pallas else None
-        if variant is not None:
+        if train:
+            trn = (variant is not None and not interpret
+                   and tcn_tp_train_ready(dilation, K, Hs, w_out.shape[1],
+                                          cfg.causal, dt))
+            args = (h, stats1, blk["dwconv"], w_out, blk["prelu2"], g1, b1,
+                    g2)
+            if trn:
+                # cotangents of the pair vary over both mesh axes; pvary
+                # the primals so the transposes insert the Megatron
+                # backward collectives (see dpt_tp._pvary_all)
+                args = _pvary_all(args, (data_axis, axis))
+            z, sums2 = tp_stage2_ad(
+                (dilation, cfg.causal, variant if trn else None, interpret),
+                *args) if trn else xla_tp_stage2(
+                *args, dilation=dilation, causal=cfg.causal)
+        elif variant is not None:
             tile, hdt = tp_variant_params(variant)
             kw = {"tile": tile} if tile else {}
             z, sums2 = fused_tp_stage2(
@@ -360,6 +389,140 @@ def tp_forward(
         check_vma=False,
     )
     return fn(variables, mixture)
+
+
+def make_tcn_tp_train_step(
+    cfg: ConvTasNetConfig,
+    tx,
+    mesh: Mesh,
+    donate: bool = True,
+    model_axis: str = "model",
+    data_axis: str = "data",
+):
+    """TCN TP train step through the explicit shard_map decomposition.
+
+    The GSPMD train step (``train/train_step.make_sharded_train_step``)
+    demotes the fused kernels under a real model split and pays 7
+    collectives per block (one per norm stat + the Megatron g-operator);
+    this alternative differentiates THROUGH the hand-written shard_map:
+    gLN models use the stage-split body (3 psums per block,
+    ``ops/pallas/tcn_block_tp``) with the fused custom-VJP stage-2 pair on
+    train-probed dilations; cLN uses the generic per-norm body. BN is
+    rejected (running-stat updates need the mutable-variables path — train
+    data-parallel instead).
+
+    ``state.params`` stay in the CANONICAL layout (the H-dim shards are
+    cut by the shard_map's in_specs), so gradients, optimizer state,
+    solver and checkpoints are all layout-unchanged. Returns a jitted
+    ``step(state, batch) -> (state, metrics)`` with the
+    ``make_train_step`` contract plus a ``.multi`` scan variant.
+    """
+    import optax
+
+    from convtasnet_tpu.losses.pit import pit_si_snr
+
+    if cfg.separator != "tcn":
+        raise ValueError("make_tcn_tp_train_step is TCN-only; the "
+                         "dual-path family has make_dpt_tp_train_step")
+    if cfg.norm_type == "BN":
+        raise ValueError("BN running-stat updates are not supported by "
+                         "the TP train step; use gLN/cLN or train "
+                         "data-parallel")
+    n_model = int(dict(mesh.shape).get(model_axis, 1))
+    n_data = int(dict(mesh.shape).get(data_axis, 1))
+    interpret = jax.default_backend() == "cpu"
+    if cfg.norm_type == "gLN":
+        body_fwd = functools.partial(
+            _tp_shard_forward_gln, cfg, axis=model_axis,
+            interpret=interpret, train=True, data_axis=data_axis)
+    else:
+        body_fwd = functools.partial(_tp_shard_forward, cfg,
+                                     axis=model_axis)
+
+    def body(variables, mixture, lengths, sources, weights):
+        est = body_fwd(variables, mixture)
+        max_snr, _ = pit_si_snr(sources, est, lengths)
+        lsum = -jnp.sum(max_snr * weights.astype(jnp.float32))
+        return lsum[None]                   # [1] per data shard
+
+    def loss_fn(params, batch):
+        mixture, lengths, sources, weights = batch
+        variables = {"params": params}
+        specs = param_partition_specs(cfg, variables)
+        sm = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(specs, P(data_axis), P(data_axis), P(data_axis),
+                      P(data_axis)),
+            out_specs=P(data_axis),
+        )
+        lsums = sm(variables, mixture, lengths, sources, weights)
+        wsum = jnp.maximum(jnp.sum(weights.astype(jnp.float32)), 1.0)
+        return jnp.sum(lsums) / wsum
+
+    def step_fn(st, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(st.params, batch)
+        updates, new_opt = tx.update(grads, st.opt_state, st.params)
+        new_params = optax.apply_updates(st.params, updates)
+        st = st.replace(step=st.step + 1, params=new_params,
+                        opt_state=new_opt)
+        return st, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    kwargs = {"donate_argnums": (0,)} if donate else {}
+    jitted = jax.jit(step_fn, **kwargs)
+
+    def multi_fn(st, batches):
+        return jax.lax.scan(lambda s_, b_: step_fn(s_, b_), st, batches)
+
+    jitted_multi = jax.jit(multi_fn, **kwargs)
+
+    degraded = []
+    _called: set = set()
+
+    def _call_with_degrade(jfn, rebuild, st, arg, batch0):
+        """Run the jitted step; if it fails to TRACE/LOWER with the fused
+        custom-VJP pair engaged (the probe validates it OUTSIDE the
+        shard_map; composing inside the vma-checked one is
+        backend-dependent), clear the train registry and retrace with XLA
+        autodiff of the same decomposition. Only a before-first-execution
+        failure is retried (no buffer donated yet; jax.jit caches nothing
+        on a trace error) — a later failure re-raises."""
+        if (n_model > 1 and not degraded and not interpret
+                and cfg.norm_type == "gLN" and cfg.use_pallas):
+            from convtasnet_tpu.ops.pallas.tcn_block_tp import (
+                ensure_probed_tcn_tp,
+            )
+
+            ensure_probed_tcn_tp(
+                cfg, n_model, max(1, batch0.shape[0] // n_data),
+                batch0.shape[-1], train=True)
+        k = id(jfn)
+        first = k not in _called
+        _called.add(k)
+        try:
+            return jfn(st, arg)
+        except Exception:  # noqa: BLE001 — vma/lowering failures
+            if degraded or not first:
+                raise
+            degraded.append(True)
+            from convtasnet_tpu.ops.pallas.tcn_block_tp import _TCN_TP_TRAIN
+
+            for k_ in list(_TCN_TP_TRAIN):
+                _TCN_TP_TRAIN[k_] = None
+            return rebuild()(st, arg)
+
+    def step_with_probe(st, batch):
+        return _call_with_degrade(
+            jitted, lambda: jax.jit(step_fn, **kwargs), st, batch, batch[0])
+
+    def multi_with_probe(st, batches):
+        """``(state, batches[n_steps, ...]) -> (state, metrics[n_steps])``
+        — the ``make_multi_train_step`` contract."""
+        return _call_with_degrade(
+            jitted_multi, lambda: jax.jit(multi_fn, **kwargs), st, batches,
+            batches[0][0])
+
+    step_with_probe.multi = multi_with_probe
+    return step_with_probe
 
 
 def shard_variables(variables, mesh: Mesh, cfg: ConvTasNetConfig):

@@ -119,14 +119,31 @@ class Solver:
                       file=_sys.stderr)
             self.train_step = make_dpt_tp_train_step(
                 cfg.model, self.tx, mesh)
+        elif n_model > 1 and cfg.model.norm_type != "BN":
+            # TCN under a real model split: differentiate through the
+            # stage-split shard_map (parallel/tensor_parallel.py; fused
+            # custom-VJP stage-2 pair on train-probed dilations); canonical
+            # param layout, same solver contract
+            from convtasnet_tpu.parallel.tensor_parallel import (
+                make_tcn_tp_train_step,
+            )
+
+            if s.train_batch_chunk:
+                import sys as _sys
+
+                print("warning: --train-batch-chunk is ignored by the TP "
+                      "train step (full-batch gradients)",
+                      file=_sys.stderr)
+            self.train_step = make_tcn_tp_train_step(
+                cfg.model, self.tx, mesh)
         else:
             if n_model > 1:
                 import sys as _sys
 
-                print("warning: mesh model axis > 1 with the TCN "
-                      "separator — the solver trains data-parallel only "
-                      "(use train/train_step.make_sharded_train_step for "
-                      "GSPMD TP)", file=_sys.stderr)
+                print("warning: mesh model axis > 1 with BN running "
+                      "stats — the solver trains data-parallel only "
+                      "(use gLN/cLN for tensor-parallel training)",
+                      file=_sys.stderr)
             self.train_step = make_train_step(
                 cfg.model, self.tx, mesh=mesh,
                 batch_chunk=s.train_batch_chunk)

@@ -43,5 +43,21 @@ for n_model in (2, 4):
                          train=True)
 EOF
 
-echo "=== 7. Flagship bench sanity ==="
+echo "=== 7. TCN fused stage-2 under TP: numerics gate + race at local widths ==="
+timeout 3600 python - <<'EOF'
+import jax
+from convtasnet_tpu.config import ConvTasNetConfig
+from convtasnet_tpu.ops.pallas.tcn_block_tp import ensure_probed_tcn_tp
+from convtasnet_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+cfg = ConvTasNetConfig(compute_dtype="bfloat16")  # paper TCN: H=512, gLN
+T = 4 * cfg.sample_rate
+for n_model in (2, 4):
+    print(f"--- probing TCN TP stage-2 kernels, n_model={n_model} ---",
+          flush=True)
+    ensure_probed_tcn_tp(cfg, n_model, batch=8, T=T, verbose=True)
+EOF
+
+echo "=== 8. Flagship bench sanity ==="
 timeout 1800 python bench.py

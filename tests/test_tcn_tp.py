@@ -144,3 +144,128 @@ def test_ensure_probed_noop_on_cpu():
     cfg = ConvTasNetConfig(**TINY, use_pallas=True)
     ensure_probed_tcn_tp(cfg, 4, 2, 1600)  # cpu backend: returns quietly
     assert tcn_tp_ready(1, 399, 8, 12, False, "float32", False) is None
+
+
+@pytest.mark.parametrize("variant", [None, "t16"])
+def test_tp_stage2_ad_grads_match_autodiff(variant):
+    """The custom-VJP pair (fused or XLA forward + remat backward) matches
+    plain autodiff of the XLA stage 2 on every cotangent."""
+    from convtasnet_tpu.ops.pallas.tcn_block_tp import tp_stage2_ad
+
+    rng = np.random.default_rng(3)
+    M, K, Hs, B, P_, d = 2, 37, 8, 6, 3, 2
+    h = jnp.asarray(rng.standard_normal((M, K, Hs)), jnp.float32)
+    stats1 = jnp.asarray(
+        np.stack([rng.standard_normal(M) * 0.1,
+                  1.0 + 0.2 * rng.random(M)], -1), jnp.float32)
+    dw = jnp.asarray(rng.standard_normal((P_, Hs)) / np.sqrt(P_), jnp.float32)
+    w_out = jnp.asarray(rng.standard_normal((Hs, B)) / np.sqrt(Hs),
+                        jnp.float32)
+    a2 = jnp.float32(0.25)
+    g1 = jnp.asarray(rng.standard_normal((Hs,)) * 0.1 + 1.0, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((Hs,)) * 0.1, jnp.float32)
+    g2 = jnp.asarray(rng.standard_normal((Hs,)) * 0.1 + 1.0, jnp.float32)
+    args = (h, stats1, dw, w_out, a2, g1, b1, g2)
+    argnums = tuple(range(8))
+
+    def loss_pair(*a):
+        z, s = tp_stage2_ad((d, False, variant, True), *a)
+        return jnp.sum(z * z) + jnp.sum(s)
+
+    def loss_ref(*a):
+        z, s = xla_tp_stage2(*a, dilation=d, causal=False)
+        return jnp.sum(z * z) + jnp.sum(s)
+
+    got = jax.grad(loss_pair, argnums=argnums)(*args)
+    want = jax.grad(loss_ref, argnums=argnums)(*args)
+    for g_, w_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g_), np.asarray(w_),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def _tiny_batch(cfg, M=4, T=1600, seed=7):
+    rng = np.random.default_rng(seed)
+    mixture = jnp.asarray(rng.standard_normal((M, T)), jnp.float32)
+    sources = jnp.asarray(
+        rng.standard_normal((M, cfg.num_speakers, T)), jnp.float32)
+    lengths = jnp.full((M,), T, jnp.int32)
+    weights = jnp.ones((M,), jnp.float32)
+    return (mixture, lengths, sources, weights)
+
+
+@pytest.mark.parametrize("norm_type", ["gLN", "cLN"])
+def test_tp_train_step_matches_baseline(norm_type):
+    """One make_tcn_tp_train_step step on a (2 data x 4 model) mesh equals
+    the plain make_train_step from the same init: loss, grad_norm, and the
+    updated params. gLN runs the stage-split body (custom-VJP plumbing;
+    fused never engages under vma on CPU), cLN the generic per-norm body
+    (exercising the static element-count under vma checking)."""
+    from convtasnet_tpu.config import SolverConfig
+    from convtasnet_tpu.parallel.tensor_parallel import (
+        make_tcn_tp_train_step,
+    )
+    from convtasnet_tpu.train.train_step import (
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg = ConvTasNetConfig(**TINY, norm_type=norm_type, use_pallas=False)
+    scfg = SolverConfig(lr=1e-3)
+    T = 1600
+    state, tx = create_train_state(cfg, scfg, jax.random.PRNGKey(0), T)
+    batch = _tiny_batch(cfg, M=4, T=T)
+
+    base_step = make_train_step(cfg, tx, donate=False)
+    ref_state, ref_metrics = base_step(state, batch)
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    tp_step = make_tcn_tp_train_step(cfg, tx, mesh, donate=False)
+    tp_state, tp_metrics = tp_step(state, batch)
+
+    np.testing.assert_allclose(float(tp_metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(tp_metrics["grad_norm"]),
+                               float(ref_metrics["grad_norm"]), rtol=1e-4)
+    ref_leaves = jax.tree_util.tree_leaves(ref_state.params)
+    tp_leaves = jax.tree_util.tree_leaves(tp_state.params)
+    for r_, t_ in zip(ref_leaves, tp_leaves):
+        np.testing.assert_allclose(np.asarray(t_), np.asarray(r_),
+                                   rtol=5e-4, atol=5e-6)
+
+
+def test_tp_train_step_multi_scans(monkeypatch):
+    """The .multi variant scans several optimizer steps per dispatch and
+    advances the step counter."""
+    from convtasnet_tpu.config import SolverConfig
+    from convtasnet_tpu.parallel.tensor_parallel import (
+        make_tcn_tp_train_step,
+    )
+    from convtasnet_tpu.train.train_step import create_train_state
+
+    cfg = ConvTasNetConfig(**TINY, norm_type="gLN", use_pallas=False)
+    state, tx = create_train_state(cfg, SolverConfig(), jax.random.PRNGKey(0),
+                                   1600)
+    mesh = make_mesh(n_data=2, n_model=4)
+    step = make_tcn_tp_train_step(cfg, tx, mesh, donate=False)
+    b = _tiny_batch(cfg, M=2, T=1600)
+    batches = jax.tree_util.tree_map(
+        lambda x: jnp.stack([x, x]), b)
+    new_state, metrics = step.multi(state, batches)
+    assert int(new_state.step) == 2
+    assert metrics["loss"].shape == (2,)
+    assert np.all(np.isfinite(np.asarray(metrics["loss"])))
+
+
+def test_tp_train_step_rejects_bn():
+    from convtasnet_tpu.config import SolverConfig
+    from convtasnet_tpu.parallel.tensor_parallel import (
+        make_tcn_tp_train_step,
+    )
+    from convtasnet_tpu.train.train_step import create_train_state
+
+    cfg = ConvTasNetConfig(**TINY, norm_type="BN", use_pallas=False)
+    _, tx = create_train_state(cfg, SolverConfig(), jax.random.PRNGKey(0),
+                               1600)
+    mesh = make_mesh(n_data=2, n_model=4)
+    with pytest.raises(ValueError, match="BN"):
+        make_tcn_tp_train_step(cfg, tx, mesh)
