@@ -253,9 +253,15 @@ def _ffn_bwd_kernel(x_ref, g_ref, wup_ref, wdn_ref, bias_ref, aff_ref,
         dx_ref[0] = (g.astype(jnp.float32) + dx_ln).astype(cdtype)
 
     W = dbias_ref.shape[1]
-    dbias = jnp.zeros((2, W), jnp.float32)
-    dbias = jax.lax.dynamic_update_slice(dbias, dbup, (0, 0))
-    dbias = jax.lax.dynamic_update_slice(dbias, dbdn, (1, 0))
+
+    def _pad_row(row):  # [1, w] -> [1, W] (static-shape concat; Mosaic
+        w = row.shape[1]  # has no dynamic_update_slice lowering)
+        if w == W:
+            return row
+        return jnp.concatenate(
+            [row, jnp.zeros((1, W - w), jnp.float32)], axis=1)
+
+    dbias = jnp.concatenate([_pad_row(dbup), _pad_row(dbdn)], axis=0)
     dgb = jnp.concatenate([dgamma, dbeta], axis=0)          # [2, B]
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
 

@@ -58,7 +58,9 @@ def _intra_kernel(x_ref, wqkv_ref, wout_ref, aff_ref, bias_ref, o_ref,
                              are a tensor-parallel head-group shard)
     wout_ref: [Bq, B]        output projection
     aff_ref:  [2, B] f32     LN gamma / beta
-    bias_ref: [ct, S] f32    additive key bias (0 valid / -1e9 pad)
+    bias_ref: [ct, 1, S] f32 additive key bias (0 valid / -1e9 pad; the
+                             unit middle dim keeps the block's last-two
+                             dims Mosaic-legal for any ct)
     o_ref:    [1, ct, S, B]  output block
     at_ref:   [ct, Bq, S]    scratch — attention output, transposed layout
 
@@ -93,7 +95,7 @@ def _intra_kernel(x_ref, wqkv_ref, wout_ref, aff_ref, bias_ref, o_ref,
 
     scale = 1.0 / float(np.sqrt(d))
     for c in range(ct):
-        bias_c = bias_ref[c:c + 1, :].reshape(1, S)         # keys in lanes
+        bias_c = bias_ref[c].reshape(1, S)                  # keys in lanes
         for i in range(h):
             q_i = q[c:c + 1, i * d:(i + 1) * d, :].reshape(d, S)
             k_i = k[c:c + 1, i * d:(i + 1) * d, :].reshape(d, S)
@@ -186,7 +188,7 @@ def fused_intra_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, B), lambda m, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ct, S), lambda m, c: (c, 0),
+            pl.BlockSpec((ct, 1, S), lambda m, c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, ct, S, B), lambda m, c: (m, c, 0, 0),
@@ -206,7 +208,7 @@ def fused_intra_attention(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, w_qkv.astype(cdtype), w_out.astype(cdtype), aff,
-      key_bias.astype(jnp.float32))
+      key_bias.astype(jnp.float32).reshape(n, 1, S))
     return out
 
 
@@ -301,7 +303,7 @@ def _intra_bwd_kernel(x_ref, g_ref, wqkv_ref, wout_ref, aff_ref, bias_ref,
 
     scale = 1.0 / float(np.sqrt(d))
     for c in range(ct):
-        bias_c = bias_ref[c:c + 1, :].reshape(1, S)
+        bias_c = bias_ref[c].reshape(1, S)
         for i in range(h):
             q_i = q[c:c + 1, i * d:(i + 1) * d, :].reshape(d, S)
             k_i = k[c:c + 1, i * d:(i + 1) * d, :].reshape(d, S)
@@ -423,7 +425,7 @@ def fused_intra_attention_bwd(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, B), lambda m, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ct, S), lambda m, c: (c, 0),
+            pl.BlockSpec((ct, 1, S), lambda m, c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -455,7 +457,7 @@ def fused_intra_attention_bwd(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, g, w_qkv.astype(cdtype), w_out.astype(cdtype), aff,
-      key_bias.astype(jnp.float32))
+      key_bias.astype(jnp.float32).reshape(n, 1, S))
     return (dx, dgb[0].astype(gamma.dtype), dgb[1].astype(beta.dtype),
             dwqkv.astype(w_qkv.dtype), dwout.astype(w_out.dtype))
 

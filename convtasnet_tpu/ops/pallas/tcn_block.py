@@ -1052,7 +1052,9 @@ def _kernel_source_hash() -> str:
 
     h = hashlib.sha256()
     d = os.path.dirname(os.path.abspath(__file__))
-    for name in ("tcn_block.py", "tcn_block_bwd.py", "dpt_attention.py"):
+    # every kernel module in this directory: all probe registries share
+    # one disk cache, so any kernel edit must invalidate it
+    for name in sorted(n for n in os.listdir(d) if n.endswith(".py")):
         try:
             with open(os.path.join(d, name), "rb") as f:
                 h.update(f.read())
