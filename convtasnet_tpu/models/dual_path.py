@@ -173,9 +173,9 @@ class _AttentionSublayer(nn.Module):
             )
 
             interpret = jax.default_backend() == "cpu"
-            st = fused_inter_ready(n, S, B, h, x.dtype, interpret)
+            st = fused_inter_ready(M, n, S, B, h, x.dtype, interpret)
             trn = self.train and fused_inter_train_ready(
-                n, S, B, h, x.dtype, interpret)
+                M, n, S, B, h, x.dtype, interpret)
             if st is not None and (not self.train or trn):
                 bias = None
                 if frame_valid is not None:
@@ -204,9 +204,9 @@ class _AttentionSublayer(nn.Module):
             )
 
             interpret = jax.default_backend() == "cpu"
-            ct = fused_intra_ready(n, S, B, h, x.dtype, interpret)
+            ct = fused_intra_ready(M, n, S, B, h, x.dtype, interpret)
             trn = self.train and fused_intra_train_ready(
-                n, S, B, h, x.dtype, interpret)
+                M, n, S, B, h, x.dtype, interpret)
             if ct is not None and (not self.train or trn):
                 bias = None
                 if frame_valid is not None:
@@ -298,9 +298,9 @@ class _FFNSublayer(nn.Module):
 
             M, n, S, B = x.shape
             interpret = jax.default_backend() == "cpu"
-            kt = fused_ffn_ready(n * S, B, self.ff, x.dtype, interpret)
+            kt = fused_ffn_ready(M, n * S, B, self.ff, x.dtype, interpret)
             trn = self.train and fused_ffn_train_ready(
-                n * S, B, self.ff, x.dtype, interpret)
+                M, n * S, B, self.ff, x.dtype, interpret)
             if kt is not None and (not self.train or trn):
                 kt_val = None if kt == "auto" else kt
                 if self.train:

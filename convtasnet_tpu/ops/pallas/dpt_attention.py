@@ -549,7 +549,10 @@ def fused_inter_attention_ad(
 # Probe / autotune registry (same discipline as tcn_block's).
 # --------------------------------------------------------------------------
 
-# (n, S, B, n_heads, dtype-str) -> s_tile int (use fused) | None (XLA wins)
+# (M, n, S, B, n_heads, dtype-str) -> s_tile int (use fused) | None (XLA
+# wins). M (batch) is part of the key: the custom call is a fusion barrier
+# whose in-model cost is batch-dependent, so winners raced at one batch
+# must not be trusted at another.
 _DPT_READY: dict = {}
 _DPT_PROBED: set = set()
 # (S, B, n_heads, dtype-str) -> first raced winner; later shapes of the
@@ -559,15 +562,15 @@ _DPT_PROBED: set = set()
 _DPT_CONFIG_WINNERS: dict = {}
 
 
-def fused_inter_ready(n: int, S: int, B: int, n_heads: int, dtype,
+def fused_inter_ready(M: int, n: int, S: int, B: int, n_heads: int, dtype,
                       interpret: bool):
     """Trace-time gate. Returns an ``s_tile`` (or "auto" in interpret mode)
     when the fused kernel may engage for this shape, else None. On a real
     backend a shape is only enabled after ``probe_fused_inter`` compiled,
-    numerics-checked AND raced it."""
+    numerics-checked AND raced it at this batch."""
     if interpret:
         return "auto"
-    return _DPT_READY.get((n, S, B, n_heads, str(jnp.dtype(dtype))))
+    return _DPT_READY.get((M, n, S, B, n_heads, str(jnp.dtype(dtype))))
 
 
 def probe_fused_inter(
@@ -602,7 +605,7 @@ def probe_fused_inter(
     if check_numerics is None:
         check_numerics = not interpret
 
-    key = (n, S, B, n_heads, str(jnp.dtype(dtype)))
+    key = (M, n, S, B, n_heads, str(jnp.dtype(dtype)))
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((M, n, S, B)), dtype)
     gamma = jnp.ones((B,), jnp.float32)
@@ -685,13 +688,13 @@ def probe_fused_inter(
     return win
 
 
-# (n, S, B, n_heads, dtype-str) -> True (fused pair) | None (autodiff)
+# (M, n, S, B, n_heads, dtype-str) -> True (fused pair) | None (autodiff)
 _DPT_BWD_READY: dict = {}
 _DPT_BWD_CONFIG: dict = {}
 
 
-def fused_inter_train_ready(n: int, S: int, B: int, n_heads: int, dtype,
-                            interpret: bool):
+def fused_inter_train_ready(M: int, n: int, S: int, B: int, n_heads: int,
+                            dtype, interpret: bool):
     """Trace-time gate for the fused train pair (Pallas forward + fused
     single-kernel backward). True when this shape's pair compiled, won the
     on-device race against XLA autodiff AND reproduced all five autodiff
@@ -699,7 +702,7 @@ def fused_inter_train_ready(n: int, S: int, B: int, n_heads: int, dtype,
     (correctness testing)."""
     if interpret:
         return True
-    return _DPT_BWD_READY.get((n, S, B, n_heads, str(jnp.dtype(dtype))))
+    return _DPT_BWD_READY.get((M, n, S, B, n_heads, str(jnp.dtype(dtype))))
 
 
 def probe_fused_inter_train(
@@ -732,7 +735,7 @@ def probe_fused_inter_train(
     if check_numerics is None:
         check_numerics = not interpret
 
-    key = (n, S, B, n_heads, str(jnp.dtype(dtype)))
+    key = (M, n, S, B, n_heads, str(jnp.dtype(dtype)))
     if verify_only and _DPT_BWD_READY.get(key) is None:
         return None
     rng = np.random.default_rng(0)
@@ -862,8 +865,8 @@ def ensure_probed_dpt_train(cfg, batch: int, T: int,
     B = cfg.bottleneck
     h = cfg.dpt_num_heads
     dt = str(jnp.dtype(cfg.compute_dtype))
-    key = (n, S, B, h, dt)
-    shape_key = ("dpt-train", batch) + key
+    key = (batch, n, S, B, h, dt)
+    shape_key = ("dpt-train",) + key
     if shape_key in _DPT_PROBED:
         return
     ensure_probed_dpt(cfg, batch, T, verbose=verbose)
@@ -903,18 +906,16 @@ def ensure_probed_dpt_train(cfg, batch: int, T: int,
 
 
 def ensure_probed_dpt(cfg, batch: int, T: int, verbose: bool = True) -> None:
-    """Probe the fused inter-attention kernel for a concrete [batch, T]
-    input to a dual-path config (idempotent per shape; no-op on CPU).
-    Winners persist in the shared autotune cache (``dpt:`` keys), so
-    repeat processes skip the on-device race."""
+    """Probe the fused dual-path sublayer kernels (ffn, intra, inter) for a
+    concrete [batch, T] input (idempotent per shape; no-op on CPU), then
+    re-validate the engaged winners IN-MODEL (each Pallas call is a fusion
+    barrier whose full-model cost the isolated races can't see — see
+    ``dpt_inmodel.validate_in_model``). Winners persist in the shared
+    autotune cache (``dpt:`` keys), so repeat processes skip the races."""
     if (not cfg.use_pallas or jax.default_backend() == "cpu"
             or getattr(cfg, "separator", "tcn") != "dpt"):
         return
     from convtasnet_tpu.ops.pallas.dpt_ffn import ensure_probed_dpt_ffn
-    from convtasnet_tpu.ops.pallas.tcn_block import (
-        _autotune_cache_load,
-        _autotune_cache_store,
-    )
 
     # the FFN and intra sublayers have their own fused kernels + probes
     # (idempotent)
@@ -922,6 +923,21 @@ def ensure_probed_dpt(cfg, batch: int, T: int, verbose: bool = True) -> None:
     from convtasnet_tpu.ops.pallas.dpt_intra import ensure_probed_dpt_intra
 
     ensure_probed_dpt_intra(cfg, batch, T, verbose=verbose)
+    _ensure_probed_inter(cfg, batch, T, verbose=verbose)
+
+    from convtasnet_tpu.ops.pallas.dpt_inmodel import validate_in_model
+
+    validate_in_model(cfg, batch, T, verbose=verbose)
+
+
+def _ensure_probed_inter(cfg, batch: int, T: int,
+                         verbose: bool = True) -> None:
+    """Probe the fused inter-attention kernel for a concrete [batch, T]
+    shape (idempotent per shape)."""
+    from convtasnet_tpu.ops.pallas.tcn_block import (
+        _autotune_cache_load,
+        _autotune_cache_store,
+    )
 
     K = (T - cfg.kernel_size) // cfg.stride + 1
     S = cfg.dpt_chunk
@@ -929,9 +945,9 @@ def ensure_probed_dpt(cfg, batch: int, T: int, verbose: bool = True) -> None:
     B = cfg.bottleneck
     h = cfg.dpt_num_heads
     dt = str(jnp.dtype(cfg.compute_dtype))
-    key = (n, S, B, h, dt)
+    key = (batch, n, S, B, h, dt)
     cfg_key = (S, B, h, dt)
-    shape_key = ("dpt", batch) + key
+    shape_key = ("dpt",) + key
     if shape_key in _DPT_PROBED:
         return
     disk_key = "dpt:inter:" + ":".join(str(v) for v in shape_key[1:])

@@ -425,7 +425,10 @@ def xla_ffn(x, gamma, beta, w_up, b_up, w_down, b_down,
 # Probe / autotune registry (same discipline as dpt_attention's).
 # --------------------------------------------------------------------------
 
-# (Kp, B, F, dtype-str) -> k_tile int (use fused) | None (XLA wins)
+# (M, Kp, B, F, dtype-str) -> k_tile int (use fused) | None (XLA wins).
+# M (batch) is part of the key: the custom call is a fusion barrier whose
+# in-model cost is batch-dependent, so winners raced at one batch must not
+# be trusted at another.
 _FFN_READY: dict = {}
 _FFN_PROBED: set = set()
 # (B, F, dtype-str) -> first raced winner; later shapes of the same config
@@ -433,14 +436,14 @@ _FFN_PROBED: set = set()
 _FFN_CONFIG_WINNERS: dict = {}
 
 
-def fused_ffn_ready(Kp: int, B: int, F: int, dtype, interpret: bool):
+def fused_ffn_ready(M: int, Kp: int, B: int, F: int, dtype, interpret: bool):
     """Trace-time gate. Returns a ``k_tile`` (or "auto" in interpret mode)
     when the fused kernel may engage for this shape, else None. On a real
     backend a shape is only enabled after ``probe_fused_ffn`` compiled,
-    numerics-checked AND raced it."""
+    numerics-checked AND raced it at this batch."""
     if interpret:
         return "auto"
-    return _FFN_READY.get((Kp, B, F, str(jnp.dtype(dtype))))
+    return _FFN_READY.get((M, Kp, B, F, str(jnp.dtype(dtype))))
 
 
 def probe_fused_ffn(
@@ -469,7 +472,7 @@ def probe_fused_ffn(
     if check_numerics is None:
         check_numerics = not interpret
 
-    key = (Kp, B, F, str(jnp.dtype(dtype)))
+    key = (M, Kp, B, F, str(jnp.dtype(dtype)))
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((M, Kp, B)), dtype)
     gamma = jnp.ones((B,), jnp.float32)
@@ -551,7 +554,8 @@ _FFN_BWD_READY: dict = {}
 _FFN_BWD_CONFIG: dict = {}
 
 
-def fused_ffn_train_ready(Kp: int, B: int, F: int, dtype, interpret: bool):
+def fused_ffn_train_ready(M: int, Kp: int, B: int, F: int, dtype,
+                          interpret: bool):
     """Trace-time gate for the fused FFN train pair (Pallas forward +
     fused single-kernel backward). True when this shape's pair compiled,
     won the on-device race against XLA autodiff AND reproduced all seven
@@ -559,7 +563,7 @@ def fused_ffn_train_ready(Kp: int, B: int, F: int, dtype, interpret: bool):
     True (correctness testing)."""
     if interpret:
         return True
-    return _FFN_BWD_READY.get((Kp, B, F, str(jnp.dtype(dtype))))
+    return _FFN_BWD_READY.get((M, Kp, B, F, str(jnp.dtype(dtype))))
 
 
 def probe_fused_ffn_train(
@@ -590,7 +594,7 @@ def probe_fused_ffn_train(
     if check_numerics is None:
         check_numerics = not interpret
 
-    key = (Kp, B, F, str(jnp.dtype(dtype)))
+    key = (M, Kp, B, F, str(jnp.dtype(dtype)))
     if verify_only and _FFN_BWD_READY.get(key) is None:
         return None
     rng = np.random.default_rng(0)
@@ -707,8 +711,8 @@ def ensure_probed_dpt_ffn_train(cfg, batch: int, T: int,
     B = cfg.bottleneck
     F = cfg.dpt_ff
     dt = str(jnp.dtype(cfg.compute_dtype))
-    key = (Kp, B, F, dt)
-    shape_key = ("dpt-ffn-train", batch) + key
+    key = (batch, Kp, B, F, dt)
+    shape_key = ("dpt-ffn-train",) + key
     if shape_key in _FFN_PROBED:
         return
     ensure_probed_dpt_ffn(cfg, batch, T, verbose=verbose)
@@ -766,9 +770,9 @@ def ensure_probed_dpt_ffn(cfg, batch: int, T: int,
     B = cfg.bottleneck
     F = cfg.dpt_ff
     dt = str(jnp.dtype(cfg.compute_dtype))
-    key = (Kp, B, F, dt)
+    key = (batch, Kp, B, F, dt)
     cfg_key = (B, F, dt)
-    shape_key = ("dpt-ffn", batch) + key
+    shape_key = ("dpt-ffn",) + key
     if shape_key in _FFN_PROBED:
         return
     disk_key = "dpt:ffn:" + ":".join(str(v) for v in shape_key[1:])

@@ -1,0 +1,191 @@
+"""In-model validation of the fused DPT sublayer winners.
+
+The sublayer probes (``probe_fused_inter`` / ``_intra`` / ``_ffn``) race
+each fused kernel against its XLA sublayer in isolation. That race cannot
+see the kernel's cost to the REST of the model: a Pallas custom call is a
+fusion barrier, so engaging it changes what XLA fuses around it and what
+stays VMEM-resident between sublayers — and that cost is batch-dependent.
+Measured on a v5e (scripts/bench_dpt_inmodel.py): the intra kernel wins
+its isolated race at every batch (0.27 vs 0.41 ms/sublayer) yet makes the
+full B=8 forward ~3% slower while making the B=32 forward ~15% faster.
+
+``validate_in_model`` therefore re-decides each engaged sublayer's winner
+by timing the real dual-path separator stack on-device: as-probed, then
+with each engaged sublayer demoted to XLA (greedy, locking in demotions
+that measure faster beyond a jitter threshold). Decisions persist to the
+shared autotune disk cache under ``dpt:inmodel:`` keys so the model
+builds + timings run once per (environment, batch, shape).
+
+Reference parity: the reference (src/conv_tasnet.py) has one fixed torch
+graph and nothing to validate; this is TPU-specific autotune discipline.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# (batch, n, S, B, h, F, dtype-str) validated this process
+_INMODEL_DONE: set = set()
+
+# demote only when the demoted model is faster by more than this margin —
+# relay RTT jitter is a few ms per call, the chained timing suppresses
+# most of it, and a sub-1% difference is not worth flapping on
+_DEMOTE_MARGIN = 0.01
+
+
+def _log(verbose: bool, msg: str) -> None:
+    if verbose:
+        import sys as _sys
+
+        print(msg, file=_sys.stderr)
+
+
+def validate_in_model(cfg, batch: int, T: int, verbose: bool = True) -> None:
+    """Greedy in-model re-validation of the inference sublayer winners for
+    one concrete ``[batch, T]`` shape (idempotent; no-op on CPU, when no
+    fused sublayer engaged, or when ``CONVTASNET_INMODEL_RACE=0``)."""
+    if (not cfg.use_pallas or jax.default_backend() == "cpu"
+            or getattr(cfg, "separator", "tcn") != "dpt"
+            or os.environ.get("CONVTASNET_INMODEL_RACE", "1") == "0"):
+        return
+    from convtasnet_tpu.ops.pallas import dpt_attention, dpt_ffn, dpt_intra
+    from convtasnet_tpu.ops.pallas.tcn_block import (
+        _autotune_cache_load,
+        _autotune_cache_store,
+    )
+
+    K = (T - cfg.kernel_size) // cfg.stride + 1
+    S = cfg.dpt_chunk
+    n = -(-K // S)
+    B = cfg.bottleneck
+    h = cfg.dpt_num_heads
+    F = cfg.dpt_ff
+    dt = str(jnp.dtype(cfg.compute_dtype))
+    memo_key = (batch, n, S, B, h, F, dt)
+    if memo_key in _INMODEL_DONE:
+        return
+    akey = (batch, n, S, B, h, dt)
+    fkey = (batch, n * S, B, F, dt)
+    regs = {
+        "intra": (dpt_intra._INTRA_READY, akey),
+        "inter": (dpt_attention._DPT_READY, akey),
+        "ffn": (dpt_ffn._FFN_READY, fkey),
+    }
+    disk_key = "dpt:inmodel:" + ":".join(str(v) for v in memo_key)
+    cached = _autotune_cache_load().get(disk_key)
+    if cached:
+        # apply the persisted decision on top of the raced winners (only
+        # for sublayers whose raced winner still matches what was
+        # validated — a re-raced winner must be re-validated)
+        stale = False
+        for nm, (reg, key) in regs.items():
+            dec = cached.get(nm)
+            if dec is None:
+                continue
+            raced, final = dec.get("raced"), dec.get("final")
+            if reg.get(key) == (int(raced) if raced is not None else None):
+                reg[key] = int(final) if final is not None else None
+            else:
+                stale = True
+        if not stale:
+            _INMODEL_DONE.add(memo_key)
+            _log(verbose, f"dpt inmodel: decision loaded from disk "
+                          f"({disk_key})")
+            return
+    engaged = {nm for nm, (reg, key) in regs.items()
+               if reg.get(key) is not None}
+    if not engaged:
+        _INMODEL_DONE.add(memo_key)
+        return
+    raced = {nm: reg.get(key) for nm, (reg, key) in regs.items()}
+
+    time_fn = _separator_timer(cfg, batch, T, verbose)
+    if time_fn is None:  # timing infrastructure failed: keep raced winners
+        _INMODEL_DONE.add(memo_key)
+        return
+    try:
+        base = time_fn()
+        _log(verbose, f"dpt inmodel B={batch}: as-probed "
+                      f"{base * 1e3:.2f} ms")
+        # demote the most-suspect sublayers first (ffn/intra barriers sit
+        # inside the layer; inter is the dominant isolated-race winner)
+        for nm in ("ffn", "intra", "inter"):
+            if nm not in engaged:
+                continue
+            reg, key = regs[nm]
+            keep = reg[key]
+            reg[key] = None
+            try:
+                demoted = time_fn()
+            except Exception:  # noqa: BLE001 — keep the raced winner
+                reg[key] = keep
+                continue
+            if demoted < base * (1.0 - _DEMOTE_MARGIN):
+                _log(verbose, f"dpt inmodel B={batch}: {nm} DEMOTED to "
+                              f"xla ({demoted * 1e3:.2f} vs "
+                              f"{base * 1e3:.2f} ms in-model)")
+                base = demoted
+            else:
+                reg[key] = keep
+                _log(verbose, f"dpt inmodel B={batch}: {nm} kept "
+                              f"(demoted {demoted * 1e3:.2f} vs "
+                              f"{base * 1e3:.2f} ms)")
+    except Exception as e:  # noqa: BLE001 — validation is best-effort
+        for nm, (reg, key) in regs.items():  # restore raced winners
+            reg[key] = raced[nm]
+        _log(verbose, f"dpt inmodel B={batch}: validation failed "
+                      f"({type(e).__name__}); raced winners kept")
+        _INMODEL_DONE.add(memo_key)
+        return
+    decision = {nm: {"raced": raced[nm], "final": regs[nm][0].get(regs[nm][1])}
+                for nm in regs}
+    _autotune_cache_store(disk_key, decision)
+    _INMODEL_DONE.add(memo_key)
+
+
+def _separator_timer(cfg, batch: int, T: int,
+                     verbose: bool) -> Optional[callable]:
+    """Build a chained, RTT-compensated timer over the dual-path separator
+    stack (the sublayers' real fusion environment; the encoder/decoder
+    around it don't fuse into the layer stack). Returns None if the model
+    can't be built."""
+    try:
+        from convtasnet_tpu.models.dual_path import DualPathSeparator
+        from convtasnet_tpu.utils.timing import (
+            median_fetch_seconds,
+            rtt_baseline,
+        )
+    except Exception:  # noqa: BLE001 — circular-import or missing dep
+        return None
+
+    K = (T - cfg.kernel_size) // cfg.stride + 1
+    N = cfg.n_filters
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((batch, K, N)),
+                    jnp.dtype(cfg.compute_dtype))
+    mod = DualPathSeparator(cfg)
+    variables = mod.init(jax.random.PRNGKey(0), w)
+
+    inner = 10
+
+    def chain(vs, x):
+        def body(carry, _):
+            masks = mod.apply(vs, carry, train=False)
+            return jnp.sum(masks, axis=2).astype(carry.dtype), jnp.float32(0)
+
+        final, _ = jax.lax.scan(body, x, None, length=inner)
+        return jnp.sum(final.astype(jnp.float32))
+
+    rtt = rtt_baseline(w, trials=5)
+
+    def measure() -> float:
+        fwd = jax.jit(chain)  # fresh jit: registry state is trace-time
+        dt = median_fetch_seconds(fwd, variables, w, trials=5) - rtt
+        return max(dt, 1e-9) / inner
+
+    return measure

@@ -519,7 +519,11 @@ def fused_intra_attention_ad(
 # Probe / autotune registry (same discipline as dpt_attention's).
 # --------------------------------------------------------------------------
 
-# (n, S, B, n_heads, dtype-str) -> c_tile int (use fused) | None (XLA wins)
+# (M, n, S, B, n_heads, dtype-str) -> c_tile int (use fused) | None (XLA
+# wins). M (batch) is part of the key: whether engaging the fused sublayer
+# helps the FULL model is batch-dependent (the custom call is a fusion
+# barrier whose cost shrinks relative to the saved HBM traffic as M grows),
+# so winners raced at one batch must not be trusted at another.
 _INTRA_READY: dict = {}
 _INTRA_PROBED: set = set()
 # (S, B, n_heads, dtype-str) -> first raced winner; later shapes of the
@@ -527,15 +531,15 @@ _INTRA_PROBED: set = set()
 _INTRA_CONFIG_WINNERS: dict = {}
 
 
-def fused_intra_ready(n: int, S: int, B: int, n_heads: int, dtype,
+def fused_intra_ready(M: int, n: int, S: int, B: int, n_heads: int, dtype,
                       interpret: bool):
     """Trace-time gate. Returns a ``c_tile`` (or "auto" in interpret mode)
     when the fused kernel may engage for this shape, else None. On a real
     backend a shape is only enabled after ``probe_fused_intra`` compiled,
-    numerics-checked AND raced it."""
+    numerics-checked AND raced it at this batch."""
     if interpret:
         return "auto"
-    return _INTRA_READY.get((n, S, B, n_heads, str(jnp.dtype(dtype))))
+    return _INTRA_READY.get((M, n, S, B, n_heads, str(jnp.dtype(dtype))))
 
 
 def probe_fused_intra(
@@ -565,7 +569,7 @@ def probe_fused_intra(
     if check_numerics is None:
         check_numerics = not interpret
 
-    key = (n, S, B, n_heads, str(jnp.dtype(dtype)))
+    key = (M, n, S, B, n_heads, str(jnp.dtype(dtype)))
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((M, n, S, B)), dtype)
     gamma = jnp.ones((B,), jnp.float32)
@@ -640,13 +644,13 @@ def probe_fused_intra(
     return win
 
 
-# (n, S, B, n_heads, dtype-str) -> True (fused pair) | None (autodiff)
+# (M, n, S, B, n_heads, dtype-str) -> True (fused pair) | None (autodiff)
 _INTRA_BWD_READY: dict = {}
 _INTRA_BWD_CONFIG: dict = {}
 
 
-def fused_intra_train_ready(n: int, S: int, B: int, n_heads: int, dtype,
-                            interpret: bool):
+def fused_intra_train_ready(M: int, n: int, S: int, B: int, n_heads: int,
+                            dtype, interpret: bool):
     """Trace-time gate for the fused train pair (Pallas forward + fused
     single-kernel backward). True when this shape's pair compiled, won the
     on-device race against XLA autodiff AND reproduced all five autodiff
@@ -654,7 +658,7 @@ def fused_intra_train_ready(n: int, S: int, B: int, n_heads: int, dtype,
     (correctness testing)."""
     if interpret:
         return True
-    return _INTRA_BWD_READY.get((n, S, B, n_heads, str(jnp.dtype(dtype))))
+    return _INTRA_BWD_READY.get((M, n, S, B, n_heads, str(jnp.dtype(dtype))))
 
 
 def probe_fused_intra_train(
@@ -687,7 +691,7 @@ def probe_fused_intra_train(
     if check_numerics is None:
         check_numerics = not interpret
 
-    key = (n, S, B, n_heads, str(jnp.dtype(dtype)))
+    key = (M, n, S, B, n_heads, str(jnp.dtype(dtype)))
     if verify_only and _INTRA_BWD_READY.get(key) is None:
         return None
     rng = np.random.default_rng(0)
@@ -807,8 +811,8 @@ def ensure_probed_dpt_intra_train(cfg, batch: int, T: int,
     B = cfg.bottleneck
     h = cfg.dpt_num_heads
     dt = str(jnp.dtype(cfg.compute_dtype))
-    key = (n, S, B, h, dt)
-    shape_key = ("dpt-intra-train", batch) + key
+    key = (batch, n, S, B, h, dt)
+    shape_key = ("dpt-intra-train",) + key
     if shape_key in _INTRA_PROBED:
         return
     ensure_probed_dpt_intra(cfg, batch, T, verbose=verbose)
@@ -864,9 +868,9 @@ def ensure_probed_dpt_intra(cfg, batch: int, T: int,
     B = cfg.bottleneck
     h = cfg.dpt_num_heads
     dt = str(jnp.dtype(cfg.compute_dtype))
-    key = (n, S, B, h, dt)
+    key = (batch, n, S, B, h, dt)
     cfg_key = (S, B, h, dt)
-    shape_key = ("dpt-intra", batch) + key
+    shape_key = ("dpt-intra",) + key
     if shape_key in _INTRA_PROBED:
         return
     disk_key = "dpt:intra:" + ":".join(str(v) for v in shape_key[1:])

@@ -24,6 +24,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["CONVTASNET_AUTOTUNE_CACHE"] = tempfile.mkdtemp(
     prefix="convtasnet-test-autotune-")
 
+# The in-model winner re-validation (ops/pallas/dpt_inmodel) times the real
+# separator stack on-device; several registry tests monkeypatch the backend
+# to "tpu", which would otherwise trigger it. Tests that exercise it opt in
+# by monkeypatching this var back to "1".
+os.environ["CONVTASNET_INMODEL_RACE"] = "0"
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

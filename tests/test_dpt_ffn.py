@@ -171,7 +171,7 @@ def test_train_registry_and_disk_cache(monkeypatch, tmp_path):
 
     def fake_train_probe(**kw):
         calls.append(kw)
-        key = (kw["Kp"], kw["B"], kw["F"], str(jnp.dtype(kw["dtype"])))
+        key = (kw["M"], kw["Kp"], kw["B"], kw["F"], str(jnp.dtype(kw["dtype"])))
         dpf._FFN_BWD_READY[key] = True
         return True
 
@@ -217,7 +217,7 @@ def test_registry_and_disk_cache(monkeypatch, tmp_path):
 
     def fake_probe(**kw):
         calls.append(kw)
-        key = (kw["Kp"], kw["B"], kw["F"], str(jnp.dtype(kw["dtype"])))
+        key = (kw["M"], kw["Kp"], kw["B"], kw["F"], str(jnp.dtype(kw["dtype"])))
         dpf._FFN_READY[key] = kw.get("only_tile") or 64
         return dpf._FFN_READY[key]
 

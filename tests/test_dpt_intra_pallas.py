@@ -159,7 +159,7 @@ def test_ready_registry_and_disk_cache(monkeypatch, tmp_path):
 
     def fake_probe(**kw):
         calls.append(kw)
-        key = (kw["n"], kw["S"], kw["B"], kw["n_heads"],
+        key = (kw["M"], kw["n"], kw["S"], kw["B"], kw["n_heads"],
                str(jnp.dtype(kw["dtype"])))
         dpi._INTRA_READY[key] = 1
         return 1
@@ -210,7 +210,7 @@ def test_train_registry_and_disk_cache(monkeypatch, tmp_path):
 
     def fake_train_probe(**kw):
         calls.append(kw)
-        key = (kw["n"], kw["S"], kw["B"], kw["n_heads"],
+        key = (kw["M"], kw["n"], kw["S"], kw["B"], kw["n_heads"],
                str(jnp.dtype(kw["dtype"])))
         dpi._INTRA_BWD_READY[key] = True
         return True
