@@ -560,6 +560,9 @@ _DPT_PROBED: set = set()
 # compile+numerics-verify it instead of re-racing — races through the
 # relay's compile service cost minutes each
 _DPT_CONFIG_WINNERS: dict = {}
+# same key as _DPT_READY -> fastest numerics-passing fused s_tile even when
+# XLA won the isolated race — the in-model validator's promotion candidate
+_DPT_BEST_FUSED: dict = {}
 
 
 def fused_inter_ready(M: int, n: int, S: int, B: int, n_heads: int, dtype,
@@ -674,6 +677,10 @@ def probe_fused_inter(
         best = None
     elif autotune and not interpret:
         best, timed = _race(compiled, xla_fn, x, inner=100)
+        fused_times = {nm: t for nm, t in timed.items() if nm != "xla"}
+        if fused_times:
+            _DPT_BEST_FUSED[key] = int(
+                min(fused_times, key=fused_times.get)[2:])
         if verbose:
             import sys as _sys
 
@@ -955,6 +962,9 @@ def _ensure_probed_inter(cfg, batch: int, T: int,
     if cached:
         win = cached.get("inter")
         _DPT_READY[key] = int(win) if win is not None else None
+        bf = cached.get("best_fused")
+        if bf is not None:  # rehydrate the in-model promotion candidate
+            _DPT_BEST_FUSED[key] = int(bf)
         _DPT_CONFIG_WINNERS.setdefault(cfg_key, _DPT_READY[key])
         _DPT_PROBED.add(shape_key)
         if verbose:
@@ -989,5 +999,6 @@ def _ensure_probed_inter(cfg, batch: int, T: int,
                                 dtype=jnp.dtype(cfg.compute_dtype),
                                 verbose=verbose)
         _DPT_CONFIG_WINNERS[cfg_key] = win
-    _autotune_cache_store(disk_key, {"inter": win})
+    _autotune_cache_store(disk_key, {"inter": win,
+                                     "best_fused": _DPT_BEST_FUSED.get(key)})
     _DPT_PROBED.add(shape_key)

@@ -434,6 +434,9 @@ _FFN_PROBED: set = set()
 # (B, F, dtype-str) -> first raced winner; later shapes of the same config
 # only compile+numerics-verify it instead of re-racing
 _FFN_CONFIG_WINNERS: dict = {}
+# same key as _FFN_READY -> fastest numerics-passing fused k_tile even when
+# XLA won the isolated race — the in-model validator's promotion candidate
+_FFN_BEST_FUSED: dict = {}
 
 
 def fused_ffn_ready(M: int, Kp: int, B: int, F: int, dtype, interpret: bool):
@@ -535,6 +538,10 @@ def probe_fused_ffn(
         best = None
     elif autotune and not interpret:
         best, timed = _race(compiled, xla_fn, x, inner=100)
+        fused_times = {nm: t for nm, t in timed.items() if nm != "xla"}
+        if fused_times:
+            _FFN_BEST_FUSED[key] = int(
+                min(fused_times, key=fused_times.get)[2:])
         if verbose:
             import sys as _sys
 
@@ -782,6 +789,9 @@ def ensure_probed_dpt_ffn(cfg, batch: int, T: int,
     if cached:
         win = cached.get("ffn")
         _FFN_READY[key] = int(win) if win is not None else None
+        bf = cached.get("best_fused")
+        if bf is not None:  # rehydrate the in-model promotion candidate
+            _FFN_BEST_FUSED[key] = int(bf)
         _FFN_CONFIG_WINNERS.setdefault(cfg_key, _FFN_READY[key])
         _FFN_PROBED.add(shape_key)
         if verbose:
@@ -803,5 +813,6 @@ def ensure_probed_dpt_ffn(cfg, batch: int, T: int,
     else:
         win = probe_fused_ffn(**kw)
         _FFN_CONFIG_WINNERS[cfg_key] = win
-    _autotune_cache_store(disk_key, {"ffn": win})
+    _autotune_cache_store(disk_key, {"ffn": win,
+                                     "best_fused": _FFN_BEST_FUSED.get(key)})
     _FFN_PROBED.add(shape_key)

@@ -529,6 +529,11 @@ _INTRA_PROBED: set = set()
 # (S, B, n_heads, dtype-str) -> first raced winner; later shapes of the
 # same config only compile+numerics-verify it instead of re-racing
 _INTRA_CONFIG_WINNERS: dict = {}
+# same key as _INTRA_READY -> fastest numerics-passing fused c_tile even
+# when XLA won the isolated race — the in-model validator's promotion
+# candidate (dpt_inmodel: the isolated race can mispredict full-model cost
+# in either direction)
+_INTRA_BEST_FUSED: dict = {}
 
 
 def fused_intra_ready(M: int, n: int, S: int, B: int, n_heads: int, dtype,
@@ -630,6 +635,10 @@ def probe_fused_intra(
         best = None
     elif autotune and not interpret:
         best, timed = _race(compiled, xla_fn, x, inner=100)
+        fused_times = {nm: t for nm, t in timed.items() if nm != "xla"}
+        if fused_times:
+            _INTRA_BEST_FUSED[key] = int(
+                min(fused_times, key=fused_times.get)[2:])
         if verbose:
             import sys as _sys
 
@@ -878,6 +887,9 @@ def ensure_probed_dpt_intra(cfg, batch: int, T: int,
     if cached:
         win = cached.get("intra")
         _INTRA_READY[key] = int(win) if win is not None else None
+        bf = cached.get("best_fused")
+        if bf is not None:  # rehydrate the in-model promotion candidate
+            _INTRA_BEST_FUSED[key] = int(bf)
         _INTRA_CONFIG_WINNERS.setdefault(cfg_key, _INTRA_READY[key])
         _INTRA_PROBED.add(shape_key)
         if verbose:
@@ -908,5 +920,6 @@ def ensure_probed_dpt_intra(cfg, batch: int, T: int,
     else:
         win = probe_fused_intra(**kw)
         _INTRA_CONFIG_WINNERS[cfg_key] = win
-    _autotune_cache_store(disk_key, {"intra": win})
+    _autotune_cache_store(disk_key, {"intra": win,
+                                     "best_fused": _INTRA_BEST_FUSED.get(key)})
     _INTRA_PROBED.add(shape_key)

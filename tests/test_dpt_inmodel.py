@@ -48,6 +48,9 @@ def tpu_registries(monkeypatch, tmp_path):
     monkeypatch.setattr(dpa, "_DPT_READY", {})
     monkeypatch.setattr(dpi, "_INTRA_READY", {})
     monkeypatch.setattr(dpf, "_FFN_READY", {})
+    monkeypatch.setattr(dpa, "_DPT_BEST_FUSED", {})
+    monkeypatch.setattr(dpi, "_INTRA_BEST_FUSED", {})
+    monkeypatch.setattr(dpf, "_FFN_BEST_FUSED", {})
     monkeypatch.setattr(dpm, "_INMODEL_DONE", set())
     return tmp_path
 
@@ -108,6 +111,42 @@ def test_demotes_slower_sublayer_and_persists(monkeypatch, tpu_registries):
     assert len(calls) == 4
     assert dpi._INTRA_READY[akey] is None
     assert dpa._DPT_READY[akey] == 16
+
+
+def test_promotes_isolated_race_loser(monkeypatch, tpu_registries):
+    """A sublayer that lost its isolated race but speeds the full model
+    gets promoted to its best fused tile, and the decision persists."""
+    cfg = _cfg()
+    batch, T = 32, 16 * 100 * cfg.stride
+    akey, fkey = _keys(cfg, batch, T)
+    dpi._INTRA_READY[akey] = None          # XLA won the isolated race
+    dpi._INTRA_BEST_FUSED[akey] = 5        # ...but ct5 compiled + verified
+    dpa._DPT_READY[akey] = 16              # engaged, helps
+
+    def cost():
+        t = 1.0
+        if dpi._INTRA_READY.get(akey) is None:
+            t += 0.12                      # in-model truth: fused helps
+        if dpa._DPT_READY.get(akey) is None:
+            t += 0.50
+        return t
+
+    calls = _fake_timer(monkeypatch, cost)
+    dpm.validate_in_model(cfg, batch, T, verbose=False)
+    assert dpi._INTRA_READY[akey] == 5     # promoted
+    assert dpa._DPT_READY[akey] == 16      # kept
+    # base + inter demotion try + intra promotion try
+    assert len(calls) == 3
+
+    # fresh process: raced winners re-seeded (no best_fused this time —
+    # cache-loaded winners skip the race); decision loads from disk
+    monkeypatch.setattr(dpm, "_INMODEL_DONE", set())
+    monkeypatch.setattr(dpi, "_INTRA_BEST_FUSED", {})
+    dpi._INTRA_READY[akey] = None
+    dpa._DPT_READY[akey] = 16
+    dpm.validate_in_model(cfg, batch, T, verbose=False)
+    assert len(calls) == 3
+    assert dpi._INTRA_READY[akey] == 5
 
 
 def test_stale_disk_decision_revalidates(monkeypatch, tpu_registries):
