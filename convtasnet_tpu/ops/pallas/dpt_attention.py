@@ -555,7 +555,7 @@ def fused_inter_attention_ad(
 # must not be trusted at another.
 _DPT_READY: dict = {}
 _DPT_PROBED: set = set()
-# (S, B, n_heads, dtype-str) -> first raced winner; later shapes of the
+# (M, S, B, n_heads, dtype-str) -> first raced winner; later shapes of the
 # same config (eval/separate batches vary in [M, T] and therefore n) only
 # compile+numerics-verify it instead of re-racing — races through the
 # relay's compile service cost minutes each
@@ -896,7 +896,7 @@ def ensure_probed_dpt_train(cfg, batch: int, T: int,
             probe_fused_inter_train(verify_only=True, autotune=False,
                                     check_numerics=False, **kw)
         return
-    cfg_key = (S, B, h, dt)
+    cfg_key = (batch, S, B, h, dt)
     if cfg_key in _DPT_BWD_CONFIG:
         # config already raced at another shape: skip the timing race but
         # keep the compile + cotangent-numerics gate at THIS shape
@@ -953,7 +953,7 @@ def _ensure_probed_inter(cfg, batch: int, T: int,
     h = cfg.dpt_num_heads
     dt = str(jnp.dtype(cfg.compute_dtype))
     key = (batch, n, S, B, h, dt)
-    cfg_key = (S, B, h, dt)
+    cfg_key = (batch, S, B, h, dt)
     shape_key = ("dpt",) + key
     if shape_key in _DPT_PROBED:
         return

@@ -431,7 +431,7 @@ def xla_ffn(x, gamma, beta, w_up, b_up, w_down, b_down,
 # be trusted at another.
 _FFN_READY: dict = {}
 _FFN_PROBED: set = set()
-# (B, F, dtype-str) -> first raced winner; later shapes of the same config
+# (M, B, F, dtype-str) -> first raced winner; later shapes of the same config
 # only compile+numerics-verify it instead of re-racing
 _FFN_CONFIG_WINNERS: dict = {}
 # same key as _FFN_READY -> fastest numerics-passing fused k_tile even when
@@ -740,7 +740,7 @@ def ensure_probed_dpt_ffn_train(cfg, batch: int, T: int,
             probe_fused_ffn_train(verify_only=True, autotune=False,
                                   check_numerics=False, **kw)
         return
-    cfg_key = (B, F, dt)
+    cfg_key = (batch, B, F, dt)
     if cfg_key in _FFN_BWD_CONFIG:
         # config already raced at another shape: skip the timing race but
         # keep the compile + cotangent-numerics gate at THIS shape
@@ -778,7 +778,7 @@ def ensure_probed_dpt_ffn(cfg, batch: int, T: int,
     F = cfg.dpt_ff
     dt = str(jnp.dtype(cfg.compute_dtype))
     key = (batch, Kp, B, F, dt)
-    cfg_key = (B, F, dt)
+    cfg_key = (batch, B, F, dt)
     shape_key = ("dpt-ffn",) + key
     if shape_key in _FFN_PROBED:
         return

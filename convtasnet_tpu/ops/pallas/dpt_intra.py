@@ -526,7 +526,7 @@ def fused_intra_attention_ad(
 # so winners raced at one batch must not be trusted at another.
 _INTRA_READY: dict = {}
 _INTRA_PROBED: set = set()
-# (S, B, n_heads, dtype-str) -> first raced winner; later shapes of the
+# (M, S, B, n_heads, dtype-str) -> first raced winner; later shapes of the
 # same config only compile+numerics-verify it instead of re-racing
 _INTRA_CONFIG_WINNERS: dict = {}
 # same key as _INTRA_READY -> fastest numerics-passing fused c_tile even
@@ -842,7 +842,7 @@ def ensure_probed_dpt_intra_train(cfg, batch: int, T: int,
             probe_fused_intra_train(verify_only=True, autotune=False,
                                     check_numerics=False, **kw)
         return
-    cfg_key = (S, B, h, dt)
+    cfg_key = (batch, S, B, h, dt)
     if cfg_key in _INTRA_BWD_CONFIG:
         # config already raced at another shape: skip the timing race but
         # keep the compile + cotangent-numerics gate at THIS shape
@@ -878,7 +878,7 @@ def ensure_probed_dpt_intra(cfg, batch: int, T: int,
     h = cfg.dpt_num_heads
     dt = str(jnp.dtype(cfg.compute_dtype))
     key = (batch, n, S, B, h, dt)
-    cfg_key = (S, B, h, dt)
+    cfg_key = (batch, S, B, h, dt)
     shape_key = ("dpt-intra",) + key
     if shape_key in _INTRA_PROBED:
         return
