@@ -175,7 +175,8 @@ class TemporalBlock(nn.Module):
     dilation: int
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 params_only: bool = False):
         cfg = self.cfg
         B, H, P = cfg.bottleneck, cfg.hidden, cfg.conv_kernel
         w_in = self.param("conv1x1", _conv_init(H, B, 1), (B, H))
@@ -185,6 +186,15 @@ class TemporalBlock(nn.Module):
         w_out = self.param("pwconv", _conv_init(B, H, 1), (H, B))
         norm1 = Norm(cfg.norm_type, H, name="norm1")
         norm2 = Norm(cfg.norm_type, H, name="norm2")
+
+        if params_only:
+            # Pair-fusion path (TemporalConvNet): declare this block's
+            # params under the canonical names and hand them out — the
+            # caller feeds two consecutive blocks' params to one fused
+            # two-block kernel (ops/pallas/tcn_block_pair). Checkpoint
+            # layout is unchanged.
+            return (w_in, w_dw, w_out, a1, a2,
+                    norm1.gamma, norm1.beta, norm2.gamma, norm2.beta)
 
         if (cfg.use_pallas and train and x.ndim == 3
                 and cfg.norm_type in ("gLN", "cLN")):
@@ -281,13 +291,57 @@ class TemporalConvNet(nn.Module):
         if cfg.remat:
             # recompute block activations in the backward pass instead of
             # keeping 32 x [M, K, H] residents in HBM (jax.checkpoint);
-            # `train` (arg 2 counting self) stays a static python bool
-            block_cls = nn.remat(TemporalBlock, static_argnums=(2,))
+            # `train` (arg 2 counting self) and `params_only` (arg 3) stay
+            # static python bools
+            block_cls = nn.remat(TemporalBlock, static_argnums=(2, 3))
+
+        def pair_variant(xblk: int):
+            """Trace-time gate: fuse blocks (xblk, xblk+1) into one
+            two-block Pallas kernel? Inference-only (the training path
+            keeps the single-block custom-VJP pairs), gLN/cLN only, and a
+            pair engages on a real backend only after its probe compiled,
+            numerics-gated, and raced it against the chained single-block
+            winners (tcn_block_pair.ensure_probed_pairs, run from
+            tcn_block.ensure_probed)."""
+            if (train or not cfg.use_pallas or y.ndim != 3
+                    or cfg.norm_type not in ("gLN", "cLN")
+                    or xblk % 2 != 0 or xblk + 1 >= cfg.num_blocks):
+                return None
+            from convtasnet_tpu.ops.pallas.tcn_block_pair import (
+                fused_block_pair_ready,
+            )
+
+            return fused_block_pair_ready(
+                2 ** xblk, 2 ** (xblk + 1), cfg.norm_type, cfg.causal,
+                jax.default_backend() == "cpu")
+
         for r in range(cfg.num_repeats):
-            for x in range(cfg.num_blocks):
-                y = block_cls(cfg, dilation=2 ** x, name=f"block_r{r}_x{x}")(
-                    y, train
-                )
+            xblk = 0
+            while xblk < cfg.num_blocks:
+                d = 2 ** xblk
+                variant = pair_variant(xblk)
+                if variant is not None:
+                    from convtasnet_tpu.ops.pallas.tcn_block_pair import (
+                        fused_tcn_block_pair,
+                        pair_variant_kwargs,
+                    )
+
+                    pa = block_cls(cfg, dilation=d,
+                                   name=f"block_r{r}_x{xblk}")(
+                        y, train, True)
+                    pb = block_cls(cfg, dilation=2 * d,
+                                   name=f"block_r{r}_x{xblk + 1}")(
+                        y, train, True)
+                    y = fused_tcn_block_pair(
+                        y, pa, pb, d1=d, d2=2 * d, causal=cfg.causal,
+                        norm_type=cfg.norm_type,
+                        interpret=jax.default_backend() == "cpu",
+                        **pair_variant_kwargs(variant))
+                    xblk += 2
+                else:
+                    y = block_cls(cfg, dilation=d,
+                                  name=f"block_r{r}_x{xblk}")(y, train, False)
+                    xblk += 1
         w_mask = self.param("mask_conv", _conv_init(C * N, B, 1), (B, C * N))
         score = pointwise_conv(y, w_mask.astype(y.dtype))
         return mask_from_scores(cfg, score)

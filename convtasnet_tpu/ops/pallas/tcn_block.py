@@ -1149,10 +1149,22 @@ def ensure_probed(cfg, batch: int, T: int, verbose: bool = True) -> None:
             ensure_probed_dpt(cfg, batch, T, verbose=verbose)
         return
     K = (T - cfg.kernel_size) // cfg.stride + 1
+
+    def _ensure_pairs():
+        # Two-block fused pairs (ops/pallas/tcn_block_pair): probed AFTER
+        # the single-block registries settle — the pair race baseline
+        # chains those winners. Idempotent via its own shape/config sets.
+        from convtasnet_tpu.ops.pallas.tcn_block_pair import (
+            ensure_probed_pairs,
+        )
+
+        ensure_probed_pairs(cfg, batch, K, verbose=verbose)
+
     cfg_key = (cfg.bottleneck, cfg.hidden, cfg.conv_kernel, cfg.num_blocks,
                cfg.norm_type, cfg.causal, cfg.compute_dtype)
     key = (batch, K) + cfg_key
     if key in _PROBED_SHAPES:
+        _ensure_pairs()
         return
     verify_only = cfg_key in _PROBED_CONFIGS
     disk_key = "fwd:" + ":".join(str(x) for x in key)
@@ -1175,6 +1187,7 @@ def ensure_probed(cfg, batch: int, T: int, verbose: bool = True) -> None:
         _autotune_cache_store(disk_key, results)
     _PROBED_SHAPES.add(key)
     _PROBED_CONFIGS.add(cfg_key)
+    _ensure_pairs()
 
 
 def ensure_probed_train(cfg, batch: int, T: int, verbose: bool = True) -> None:

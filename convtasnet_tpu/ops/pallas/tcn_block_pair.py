@@ -317,12 +317,27 @@ _FUSED_PAIR_READY: dict = {}
 
 def pair_variant_kwargs(variant) -> dict:
     """Decode a pair-registry variant name to ``fused_tcn_block_pair``
-    kwargs. Names are ``pair[_f32]`` (f32 VMEM activation scratch)."""
-    if variant in (None, "pair"):
+    kwargs. Names are ``pair[_f32][@<tile>]`` (f32 VMEM activation scratch;
+    explicit K-tile — the probe races 800 against the 1600 default, same
+    discipline as the single-block ``variant_params``)."""
+    if variant is None:
         return {}
-    if variant == "pair_f32":
-        return {"h_dtype": jnp.float32}
-    raise ValueError(f"unknown pair variant: {variant}")
+    name, _, t = variant.partition("@")
+    kw: dict = {"tile": int(t)} if t else {}
+    if name == "pair_f32":
+        kw["h_dtype"] = jnp.float32
+    elif name != "pair":
+        raise ValueError(f"unknown pair variant: {variant}")
+    return kw
+
+
+def _pair_numerics_tol(dtype) -> float:
+    """Acceptance tolerance for the two-block chain. 1.5x the single-block
+    tolerance: bf16 VMEM-scratch rounding compounds across the fused
+    boundary (measured chain error ~1.5-2e-2 vs ~1e-2 per block), while a
+    miscompile still produces O(1) error — the gate keeps >10x separation
+    either way."""
+    return 1.5 * _numerics_tol(dtype)
 
 
 def fused_block_pair_ready(d1: int, d2: int, norm_type: str, causal: bool,
@@ -418,22 +433,45 @@ def probe_fused_block_pairs(
     base_variants = [("pair", None)]
     if jnp.dtype(dtype) == jnp.bfloat16:
         base_variants.append(("pair_f32", jnp.float32))
+    # K-tile twins (same rationale as the single-block probe): 800 halves
+    # the pad waste at K=3199 (Kp 3200 vs 4800) and shifts the VPU/MXU
+    # interleave; the race decides per shape.
+    tile_cands = [tile]
+    if not interpret and tile != 800 and K >= 800:
+        tile_cands.append(800)
+    variants = [(n + (f"@{t}" if t != tile else ""), h, t)
+                for (n, h) in base_variants for t in tile_cands]
 
     for d1, d2 in dilation_pairs:
         d1, d2 = int(d1), int(d2)
-        to_try = base_variants
+        to_try = variants
         if verify_only:
             winner = _FUSED_PAIR_READY.get((d1, d2, norm_type, causal))
             if winner is None:
                 results[(d1, d2)] = None
                 continue
-            to_try = [(n, h) for n, h in base_variants if n == winner]
+            to_try = [(n, h, t) for n, h, t in variants if n == winner]
+            if not to_try:
+                # Recorded winner is not among the current candidates (e.g.
+                # a pair_f32 recorded under bf16 re-verified at another
+                # compute dtype, or an older tile set). Re-verify it exactly
+                # as recorded instead of silently demoting to unfused.
+                kw = pair_variant_kwargs(winner)
+                if verbose:
+                    import sys as _sys
+
+                    print(f"pallas pair probe d=({d1},{d2}): recorded "
+                          f"winner {winner} not a candidate at dtype="
+                          f"{jnp.dtype(dtype).name}; re-verifying as "
+                          f"recorded", file=_sys.stderr)
+                to_try = [(winner, kw.get("h_dtype"),
+                           kw.get("tile", tile))]
         compiled = {}
         aot = {}
-        for name, h_dt in to_try:
+        for name, h_dt, tl in to_try:
             fn = functools.partial(
                 fused_tcn_block_pair, d1=d1, d2=d2, causal=causal,
-                norm_type=norm_type, tile=tile, interpret=interpret,
+                norm_type=norm_type, tile=tl, interpret=interpret,
                 h_dtype=h_dt)
             err = None
             for _ in range(retries + 1):
@@ -451,7 +489,7 @@ def probe_fused_block_pairs(
                 print(f"pallas pair probe d=({d1},{d2}) {name}: compile "
                       f"failed ({type(err).__name__})", file=_sys.stderr)
         if compiled and check_numerics:
-            tol = _numerics_tol(dtype)
+            tol = _pair_numerics_tol(dtype)
             ok, errs, verified = _verify_numerics(
                 {n: (lambda _e=aot[n]: _e(x, wa, wb)) for n in compiled},
                 lambda: jax.jit(xla_chain(d1, d2))(x), tol)

@@ -30,6 +30,12 @@ os.environ["CONVTASNET_AUTOTUNE_CACHE"] = tempfile.mkdtemp(
 # by monkeypatching this var back to "1".
 os.environ["CONVTASNET_INMODEL_RACE"] = "0"
 
+# Two-block pair fusion engages unconditionally under interpret mode (CPU),
+# which would silently shift every model test off the single-block fused
+# path. Tests exercise the pair kernel explicitly (tests/test_tcn_pair.py)
+# by monkeypatching this back to "1".
+os.environ["CONVTASNET_PAIR_FUSION"] = "0"
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
