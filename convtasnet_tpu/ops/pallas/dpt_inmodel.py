@@ -39,7 +39,10 @@ _INMODEL_DONE: set = set()
 # more than this margin — relay RTT jitter is a few ms per call and the
 # chained timing suppresses most of it but ~1-2% run-to-run noise remains
 # (measured: a cached-trace re-measurement of the *identical* program moved
-# 3.9%); every real in-model effect observed so far is >=4%
+# 3.9%); every real in-model effect observed so far is >=4%. A single-sample
+# win inside (1x, 2x] of this margin is re-measured median-of-3 before the
+# flip locks in (see try_flip) — the margin alone sits below the measured
+# identical-program jitter.
 _DEMOTE_MARGIN = 0.03
 
 
@@ -138,7 +141,19 @@ def validate_in_model(cfg, batch: int, T: int, verbose: bool = True) -> None:
         except Exception:  # noqa: BLE001 — keep the current winner
             reg[key] = keep
             return base
-        if flipped < base * (1.0 - _DEMOTE_MARGIN):
+        win = flipped < base * (1.0 - _DEMOTE_MARGIN)
+        if win and flipped > base * (1.0 - 2.0 * _DEMOTE_MARGIN):
+            # Borderline win: the single sample sits inside the measured
+            # jitter band (an identical cached-trace program has re-measured
+            # 3.9% apart), so one spike could lock in a wrong flip —
+            # median-of-3 before committing.
+            try:
+                flipped = sorted([flipped, time_fn(), time_fn()])[1]
+            except Exception:  # noqa: BLE001 — keep the current winner
+                reg[key] = keep
+                return base
+            win = flipped < base * (1.0 - _DEMOTE_MARGIN)
+        if win:
             _log(verbose, f"dpt inmodel B={batch}: {nm} {action} "
                           f"({flipped * 1e3:.2f} vs {base * 1e3:.2f} ms "
                           f"in-model)")

@@ -169,6 +169,51 @@ def test_stale_disk_decision_revalidates(monkeypatch, tpu_registries):
     assert dpi._INTRA_READY[akey] == 7
 
 
+def test_borderline_flip_jitter_spike_does_not_lock(monkeypatch,
+                                                    tpu_registries):
+    """A single flip sample inside the (margin, 2*margin] jitter band must
+    be confirmed median-of-3; one spike no longer locks in the demotion."""
+    cfg = _cfg()
+    batch, T = 8, 16 * 100 * cfg.stride
+    akey, _ = _keys(cfg, batch, T)
+    dpi._INTRA_READY[akey] = 5
+    # base, borderline flip sample (-4.5%), then two honest re-measures
+    seq = iter([1.0, 0.955, 1.0, 1.0])
+    calls = _fake_timer(monkeypatch, lambda: next(seq))
+    dpm.validate_in_model(cfg, batch, T, verbose=False)
+    assert dpi._INTRA_READY[akey] == 5     # spike rejected, winner kept
+    assert len(calls) == 4                 # base + flip + 2 re-measures
+
+
+def test_borderline_flip_confirmed_by_median(monkeypatch, tpu_registries):
+    """A borderline win that reproduces across the median-of-3 locks in."""
+    cfg = _cfg()
+    batch, T = 8, 16 * 100 * cfg.stride
+    akey, _ = _keys(cfg, batch, T)
+    dpi._INTRA_READY[akey] = 5
+    seq = iter([1.0, 0.955, 0.950, 0.960])   # median 0.955 < 0.97
+    calls = _fake_timer(monkeypatch, lambda: next(seq))
+    dpm.validate_in_model(cfg, batch, T, verbose=False)
+    assert dpi._INTRA_READY[akey] is None  # demotion confirmed
+    assert len(calls) == 4
+
+
+def test_decisive_flip_skips_remeasure(monkeypatch, tpu_registries):
+    """A win clearly past 2x the margin does not pay for re-measures."""
+    cfg = _cfg()
+    batch, T = 8, 16 * 100 * cfg.stride
+    akey, _ = _keys(cfg, batch, T)
+    dpi._INTRA_READY[akey] = 5
+
+    def cost():
+        return 1.0 if dpi._INTRA_READY.get(akey) is not None else 0.8
+
+    calls = _fake_timer(monkeypatch, cost)
+    dpm.validate_in_model(cfg, batch, T, verbose=False)
+    assert dpi._INTRA_READY[akey] is None
+    assert len(calls) == 2                 # base + one decisive flip
+
+
 def test_noop_when_nothing_engaged(monkeypatch, tpu_registries):
     cfg = _cfg()
     batch, T = 8, 16 * 100 * cfg.stride
