@@ -45,11 +45,61 @@ import numpy as np
 INNER = 10
 
 
+def dpt_line(batch_size: int = 8, seconds: float = 4.0,
+             trials: int = 5) -> None:
+    """Labeled dual-path (second family) throughput line, printed ABOVE the
+    contract line so round-over-round driver artifacts track both families.
+    Best-effort: any failure here must not disturb the TCN contract line."""
+    from convtasnet_tpu.config import ConvTasNetConfig
+    from convtasnet_tpu.models.conv_tasnet import ConvTasNet, init_params
+    from convtasnet_tpu.ops.pallas.tcn_block import ensure_probed
+    from convtasnet_tpu.utils.timing import median_fetch_seconds, rtt_baseline
+
+    T = int(seconds * 8000)
+    cfg = ConvTasNetConfig(
+        separator="dpt", compute_dtype="bfloat16",
+        use_pallas=jax.default_backend() != "cpu")
+    ensure_probed(cfg, batch_size, T, verbose=True)
+    model = ConvTasNet(cfg)
+    variables = init_params(cfg, jax.random.PRNGKey(0), example_len=T)
+    params = variables["params"]
+
+    def chain(p, m):
+        def body(carry, _):
+            out = model.apply({"params": p}, carry)
+            return jnp.sum(out, axis=1), jnp.float32(0)
+
+        final, _ = jax.lax.scan(body, m, None, length=INNER)
+        return jnp.sum(final)
+
+    fwd = jax.jit(chain)
+    rng = np.random.default_rng(0)
+    mixture = jnp.asarray(rng.standard_normal((batch_size, T)), jnp.float32)
+    rtt_s = rtt_baseline(mixture, trials=trials)
+    jax.device_get(fwd(params, mixture))
+    dt = max(median_fetch_seconds(fwd, params, mixture, trials=trials)
+             - rtt_s, 1e-9)
+    rtf = batch_size * seconds * INNER / dt
+    # print only — the contract (and last_bench fallback) is the TCN line
+    print(json.dumps({
+        "metric": "separation throughput (audio-sec/sec/chip, "
+                  "dpt quality-default)",
+        "value": round(rtf, 1),
+        "unit": "x realtime",
+        "vs_baseline": round(rtf / 200.0, 2),
+    }))
+
+
 def main(batch_size: int = 8, seconds: float = 4.0, trials: int = 5,
          profile_dir: str = "") -> None:
     from convtasnet_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
+    try:
+        dpt_line(batch_size, seconds, trials)
+    except Exception as e:  # noqa: BLE001 — second-family line is optional
+        print(f"dpt bench line failed ({type(e).__name__}: {e}); "
+              f"continuing to the contract line", file=sys.stderr)
     from convtasnet_tpu.config import ConvTasNetConfig
     from convtasnet_tpu.models.conv_tasnet import ConvTasNet, init_params
     from convtasnet_tpu.ops.pallas.tcn_block import ensure_probed

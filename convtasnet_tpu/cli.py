@@ -89,6 +89,10 @@ def _add_data_flags(p: argparse.ArgumentParser) -> None:
     g.add_argument("--max-hours", type=float, default=None)
     g.add_argument("--num-workers", type=int, default=4)
     g.add_argument("--shuffle", type=int, default=1)
+    g.add_argument("--segment-cache", type=int, default=1,
+                   help="decode-once memmapped cache of planned train "
+                        "batches (epoch 0 fills, later epochs stream with "
+                        "zero decode); 0 re-decodes every epoch")
 
 
 def _add_solver_flags(p: argparse.ArgumentParser) -> None:
@@ -154,7 +158,8 @@ def _cfg_from_args(a: argparse.Namespace) -> TrainConfig:
             cv_skip_semantics=getattr(a, "cv_skip_semantics", "fixed"),
             batch_size=a.batch_size,
             max_hours=a.max_hours, shuffle=bool(a.shuffle),
-            num_workers=a.num_workers),
+            num_workers=a.num_workers,
+            segment_cache=bool(getattr(a, "segment_cache", 1))),
         solver=SolverConfig(
             epochs=a.epochs, optimizer=a.optimizer, lr=a.lr,
             momentum=a.momentum, l2=a.l2, max_grad_norm=a.max_norm,
@@ -258,7 +263,10 @@ def cmd_train(a) -> int:
         cv_maxlen=cfg.data.cv_maxlen, num_speakers=cfg.model.num_speakers,
         pad_rows_to_multiple=n_shards,
         cv_skip_semantics=cfg.data.cv_skip_semantics)
-    tr = BatchLoader(tr_ds, shuffle=cfg.data.shuffle, sharding=sharding,
+    from convtasnet_tpu.data.segment_cache import maybe_cache
+
+    tr = BatchLoader(maybe_cache(tr_ds, enable=cfg.data.segment_cache),
+                     shuffle=cfg.data.shuffle, sharding=sharding,
                      num_workers=cfg.data.num_workers, seed=cfg.solver.seed)
     cv = BatchLoader(cv_ds, sharding=sharding,
                      num_workers=cfg.data.num_workers,

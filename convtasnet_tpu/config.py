@@ -103,6 +103,10 @@ class DataConfig:
     max_hours: Optional[float] = None
     shuffle: bool = True
     num_workers: int = 4
+    # Decode-once memmapped cache of planned train batches: epoch 0 fills,
+    # epochs >=1 stream slices with zero decode (data/segment_cache.py).
+    # CONVTASNET_SEGMENT_CACHE=0 force-disables regardless of this flag.
+    segment_cache: bool = True
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)

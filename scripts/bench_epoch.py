@@ -84,6 +84,9 @@ def main() -> None:
     ap.add_argument("--steps-per-call", type=int, default=8)
     ap.add_argument("--num-workers", type=int, default=4)
     ap.add_argument("--gen-only", action="store_true")
+    ap.add_argument("--segment-cache", type=int, default=1,
+                    help="decode-once memmapped batch cache (epoch 0 "
+                         "fills; the measured epoch streams slices)")
     ap.add_argument("--max-steps", type=int, default=0,
                     help="cap dispatched optimizer steps (0 = full epoch)")
     a = ap.parse_args()
@@ -120,6 +123,23 @@ def main() -> None:
     T = 4 * SR
     ds = SeparationDataset(os.path.join(json_dir, "tr"), a.batch_size,
                            sample_rate=SR, segment=4.0)
+    cache_frac = -1.0
+    if a.segment_cache:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from convtasnet_tpu.data.segment_cache import CachedDataset
+
+        ds = CachedDataset(ds, os.path.join(a.corpus, "segcache"))
+        if ds.hit_fraction() < 1.0:
+            # epoch-0 experience: decode-and-fill every planned batch
+            # (threaded like the loader), timed separately so the measured
+            # epoch below is the steady-state (epoch >= 1) cost
+            t0 = time.time()
+            with ThreadPoolExecutor(a.num_workers) as pool:
+                list(pool.map(ds.load_batch, range(len(ds))))
+            print(f"segment cache fill (epoch-0 decode): "
+                  f"{time.time() - t0:.1f} s", flush=True)
+        cache_frac = ds.hit_fraction()
     loader = BatchLoader(ds, shuffle=True, num_workers=a.num_workers, seed=0)
     n_batches = len(loader)
     audio_h = n_batches * a.batch_size * 4.0 / 3600
@@ -224,6 +244,7 @@ def main() -> None:
         "chip_idle_frac_est": round(idle_frac, 3),
         "steps_per_call": a.steps_per_call,
         "batch_size": a.batch_size,
+        "segment_cache_hit_frac": round(cache_frac, 3),
     }
     print(json.dumps(summary), flush=True)
 
