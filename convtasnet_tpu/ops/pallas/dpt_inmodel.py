@@ -35,15 +35,13 @@ import numpy as np
 # (batch, n, S, B, h, F, dtype-str) validated this process
 _INMODEL_DONE: set = set()
 
-# flip a sublayer's winner only when the alternative measures faster by
-# more than this margin — relay RTT jitter is a few ms per call and the
-# chained timing suppresses most of it but ~1-2% run-to-run noise remains
-# (measured: a cached-trace re-measurement of the *identical* program moved
-# 3.9%); every real in-model effect observed so far is >=4%. A single-sample
-# win inside (1x, 2x] of this margin is re-measured median-of-3 before the
-# flip locks in (see try_flip) — the margin alone sits below the measured
-# identical-program jitter.
-_DEMOTE_MARGIN = 0.03
+# decision discipline (margin, median-of-3 borderline re-measure, greedy
+# demote/promote, persistence-vs-raced-winners) lives in inmodel_core
+from convtasnet_tpu.ops.pallas.inmodel_core import (  # noqa: E402
+    DEMOTE_MARGIN as _DEMOTE_MARGIN,
+    apply_cached_decision,
+    greedy_validate,
+)
 
 
 def _log(verbose: bool, msg: str) -> None:
@@ -97,25 +95,13 @@ def validate_in_model(cfg, batch: int, T: int, verbose: bool = True) -> None:
     # reused function object never saw the registry toggle) and are junk
     disk_key = "dpt:inmodel2:" + ":".join(str(v) for v in memo_key)
     cached = _autotune_cache_load().get(disk_key)
-    if cached:
-        # apply the persisted decision on top of the raced winners (only
-        # for sublayers whose raced winner still matches what was
-        # validated — a re-raced winner must be re-validated)
-        stale = False
-        for nm, (reg, key) in regs.items():
-            dec = cached.get(nm)
-            if dec is None:
-                continue
-            raced, final = dec.get("raced"), dec.get("final")
-            if reg.get(key) == (int(raced) if raced is not None else None):
-                reg[key] = int(final) if final is not None else None
-            else:
-                stale = True
-        if not stale:
-            _INMODEL_DONE.add(memo_key)
-            _log(verbose, f"dpt inmodel: decision loaded from disk "
-                          f"({disk_key})")
-            return
+    if cached and apply_cached_decision(regs, cached):
+        # persisted decision applied on top of matching raced winners (a
+        # re-raced winner would have come back stale → re-validate)
+        _INMODEL_DONE.add(memo_key)
+        _log(verbose, f"dpt inmodel: decision loaded from disk "
+                      f"({disk_key})")
+        return
     engaged = {nm for nm, (reg, key) in regs.items()
                if reg.get(key) is not None}
     promotable = {nm for nm in regs
@@ -123,73 +109,24 @@ def validate_in_model(cfg, batch: int, T: int, verbose: bool = True) -> None:
     if not engaged and not promotable:
         _INMODEL_DONE.add(memo_key)
         return
-    raced = {nm: reg.get(key) for nm, (reg, key) in regs.items()}
 
     time_fn = _separator_timer(cfg, batch, T, verbose)
     if time_fn is None:  # timing infrastructure failed: keep raced winners
         _INMODEL_DONE.add(memo_key)
         return
 
-    def try_flip(nm: str, alt, base: float, action: str) -> float:
-        """Time the model with ``nm``'s winner flipped to ``alt``; keep the
-        flip if it beats ``base`` by the margin, else restore."""
-        reg, key = regs[nm]
-        keep = reg[key] if key in reg else None
-        reg[key] = alt
-        try:
-            flipped = time_fn()
-        except Exception:  # noqa: BLE001 — keep the current winner
-            reg[key] = keep
-            return base
-        win = flipped < base * (1.0 - _DEMOTE_MARGIN)
-        if win and flipped > base * (1.0 - 2.0 * _DEMOTE_MARGIN):
-            # Borderline win: the single sample sits inside the measured
-            # jitter band (an identical cached-trace program has re-measured
-            # 3.9% apart), so one spike could lock in a wrong flip —
-            # median-of-3 before committing.
-            try:
-                flipped = sorted([flipped, time_fn(), time_fn()])[1]
-            except Exception:  # noqa: BLE001 — keep the current winner
-                reg[key] = keep
-                return base
-            win = flipped < base * (1.0 - _DEMOTE_MARGIN)
-        if win:
-            _log(verbose, f"dpt inmodel B={batch}: {nm} {action} "
-                          f"({flipped * 1e3:.2f} vs {base * 1e3:.2f} ms "
-                          f"in-model)")
-            return flipped
-        reg[key] = keep
-        _log(verbose, f"dpt inmodel B={batch}: {nm} kept "
-                      f"({action} {flipped * 1e3:.2f} vs "
-                      f"{base * 1e3:.2f} ms)")
-        return base
-
-    try:
-        base = time_fn()
-        _log(verbose, f"dpt inmodel B={batch}: as-probed "
-                      f"{base * 1e3:.2f} ms")
-        # demotion pass over engaged sublayers (ffn/intra barriers sit
-        # inside the layer; inter is the dominant isolated-race winner)
-        for nm in ("ffn", "intra", "inter"):
-            if nm in engaged:
-                base = try_flip(nm, None, base, "DEMOTED to xla")
-        # promotion pass over isolated-race losers: the isolated race can
-        # mispredict in either direction (measured: intra loses isolated
-        # at B=32 yet speeds the full forward ~11%)
-        for nm in ("intra", "ffn", "inter"):
-            if nm in promotable:
-                base = try_flip(nm, best_fused[nm], base,
-                                f"PROMOTED to fused {best_fused[nm]}")
-    except Exception as e:  # noqa: BLE001 — validation is best-effort
-        for nm, (reg, key) in regs.items():  # restore raced winners
-            reg[key] = raced[nm]
-        _log(verbose, f"dpt inmodel B={batch}: validation failed "
-                      f"({type(e).__name__}); raced winners kept")
-        _INMODEL_DONE.add(memo_key)
-        return
-    decision = {nm: {"raced": raced[nm], "final": regs[nm][0].get(regs[nm][1])}
-                for nm in regs}
-    _autotune_cache_store(disk_key, decision)
+    decision = greedy_validate(
+        regs, best_fused, time_fn,
+        # demotion: ffn/intra barriers sit inside the layer; inter is the
+        # dominant isolated-race winner. Promotion: the isolated race can
+        # mispredict in either direction (measured: intra loses isolated at
+        # B=32 yet speeds the full forward ~11%).
+        demote_order=("ffn", "intra", "inter"),
+        promote_order=("intra", "ffn", "inter"),
+        log=lambda msg: _log(verbose, f"dpt inmodel B={batch}: {msg}"),
+    )
+    if decision:
+        _autotune_cache_store(disk_key, decision)
     _INMODEL_DONE.add(memo_key)
 
 

@@ -863,6 +863,11 @@ def probe_for_config(cfg, K: int, batch: int, verbose: bool = False,
 # (=recompute-XLA VJP / plain autodiff). Populated by
 # probe_fused_block_train. gLN and cLN.
 _FUSED_BWD_READY: dict = {}
+# fastest fused train pair that passed the grads-numerics gate, per
+# (dilation, norm_type, causal) — kept even when XLA won the isolated race,
+# as the in-model promotion candidate (tcn_inmodel_train). Only populated
+# by a genuine race in this process.
+_BWD_BEST_FUSED: dict = {}
 
 
 def fused_block_bwd_ready(dilation: int, norm_type: str, causal: bool,
@@ -984,6 +989,7 @@ def probe_fused_block_train(
 
                 print(f"pallas train probe d={d} bwd={bwd}: compile failed "
                       f"({type(err).__name__})", file=_sys.stderr)
+        timed = {}
         if not candidates:
             best = None
         elif verify_only:
@@ -999,23 +1005,43 @@ def probe_fused_block_train(
                       f"({detail})", file=_sys.stderr)
         else:
             best = next(iter(candidates))
-        if best is not None and check_numerics:
+
+        tol = 2 * _numerics_tol(dtype)
+        wargs = (w_in, dw, w_out, a, a, g1, gb, g1, gb)
+
+        def grads_ok(bwd_name: str) -> bool:
             fused10 = functools.partial(
                 fused_tcn_block_ad, dilation=d, causal=causal,
                 norm_type=norm_type, tile=tile, store_h2=store_h2,
-                h_dtype=h_dt, interpret=interpret, bwd=best)
-            tol = 2 * _numerics_tol(dtype)
-            wargs = (w_in, dw, w_out, a, a, g1, gb, g1, gb)
+                h_dtype=h_dt, interpret=interpret, bwd=bwd_name)
             ok, merr = _train_grads_numerics(fused10, xla10, x, wargs, tol)
             if verbose:
                 import sys as _sys
 
                 state = "ok" if ok else "REJECTED"
-                print(f"pallas train probe d={d}: grads numerics vs "
-                      f"autodiff (tol {tol:g}): max rel err {merr:.2e} "
-                      f"[{state}]", file=_sys.stderr)
-            if not ok:
-                best = None
+                print(f"pallas train probe d={d} bwd={bwd_name}: grads "
+                      f"numerics vs autodiff (tol {tol:g}): max rel err "
+                      f"{merr:.2e} [{state}]", file=_sys.stderr)
+            return ok
+
+        numerics_failed = None
+        if best is not None and check_numerics and not grads_ok(best):
+            numerics_failed, best = best, None
+        if best is not None:
+            _BWD_BEST_FUSED[(d, norm_type, causal)] = best
+        elif timed and check_numerics:
+            # XLA won the isolated race (or numerics demoted the winner):
+            # still record the fastest fused candidate that reproduces the
+            # autodiff cotangents — the in-model train validator
+            # (tcn_inmodel_train) may promote it, since isolated races
+            # mispredict full-model cost in both directions.
+            for bf in sorted((k for k in timed if k != "xla"),
+                             key=timed.get):
+                if bf == numerics_failed:
+                    continue
+                if grads_ok(bf):
+                    _BWD_BEST_FUSED[(d, norm_type, causal)] = bf
+                    break
         _FUSED_BWD_READY[(d, norm_type, causal)] = best
         results[d] = best
     return results
@@ -1234,6 +1260,7 @@ def ensure_probed_train(cfg, batch: int, T: int, verbose: bool = True) -> None:
             causal=cfg.causal, dtype=jnp.dtype(cfg.compute_dtype),
             verbose=verbose, verify_only=True)
         _PROBED_SHAPES.add(key)
+        _validate_train_inmodel(cfg, batch, T, verbose)
         return
     results = probe_fused_block_train(
         [2 ** i for i in range(cfg.num_blocks)],
@@ -1243,3 +1270,22 @@ def ensure_probed_train(cfg, batch: int, T: int, verbose: bool = True) -> None:
         verbose=verbose)
     _autotune_cache_store(disk_key, results)
     _PROBED_SHAPES.add(key)
+    _validate_train_inmodel(cfg, batch, T, verbose)
+
+
+def _validate_train_inmodel(cfg, batch: int, T: int, verbose: bool) -> None:
+    """Re-decide the train-pair winners inside a reduced-repeat model (the
+    isolated races above mispredict full-model cost; see
+    tcn_inmodel_train). Best-effort: never fails the probe."""
+    try:
+        from convtasnet_tpu.ops.pallas.tcn_inmodel_train import (
+            validate_train_in_model,
+        )
+
+        validate_train_in_model(cfg, batch, T, verbose=verbose)
+    except Exception as e:  # noqa: BLE001 — raced winners stay in force
+        if verbose:
+            import sys as _sys
+
+            print(f"tcn train inmodel validation skipped "
+                  f"({type(e).__name__}: {e})", file=_sys.stderr)
