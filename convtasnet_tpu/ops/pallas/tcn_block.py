@@ -1185,6 +1185,21 @@ def ensure_probed(cfg, batch: int, T: int, verbose: bool = True) -> None:
         )
 
         ensure_probed_pairs(cfg, batch, K, verbose=verbose)
+        # Pair engagement is re-decided inside the full jitted separator —
+        # the isolated pair race mispredicted the full forward by ~5% on
+        # the flagship shape (see tcn_inmodel_fwd). Best-effort.
+        try:
+            from convtasnet_tpu.ops.pallas.tcn_inmodel_fwd import (
+                validate_pairs_in_model,
+            )
+
+            validate_pairs_in_model(cfg, batch, T, verbose=verbose)
+        except Exception as e:  # noqa: BLE001 — raced winners stay in force
+            if verbose:
+                import sys as _sys
+
+                print(f"tcn pair inmodel validation skipped "
+                      f"({type(e).__name__}: {e})", file=_sys.stderr)
 
     cfg_key = (cfg.bottleneck, cfg.hidden, cfg.conv_kernel, cfg.num_blocks,
                cfg.norm_type, cfg.causal, cfg.compute_dtype)

@@ -314,6 +314,12 @@ def fused_tcn_block_pair(
 # (d1, d2, norm_type, causal) -> "pair" | "pair_f32" | None (=unfused path).
 _FUSED_PAIR_READY: dict = {}
 
+# fastest pair variant that passed the numerics gate, per pair key — kept
+# even when the unfused chain won the isolated race, as the in-model
+# promotion candidate (tcn_inmodel_fwd). Only populated by a genuine race
+# in this process.
+_PAIR_BEST_FUSED: dict = {}
+
 
 def pair_variant_kwargs(variant) -> dict:
     """Decode a pair-registry variant name to ``fused_tcn_block_pair``
@@ -532,6 +538,14 @@ def probe_fused_block_pairs(
                     f"{k}={v * 1e3:.3f}ms" for k, v in sorted(timed.items()))
                 print(f"pallas pair probe d=({d1},{d2}): best="
                       f"{best or 'unfused'} ({detail})", file=_sys.stderr)
+            # record the fastest numerics-verified pair variant even when
+            # the unfused chain won — the isolated race mispredicts
+            # full-model cost in both directions, so the in-model validator
+            # (tcn_inmodel_fwd) may promote it
+            fused_timed = {k: v for k, v in timed.items() if k in compiled}
+            if fused_timed:
+                _PAIR_BEST_FUSED[(d1, d2, norm_type, causal)] = min(
+                    fused_timed, key=fused_timed.get)
         else:
             best = next(iter(compiled))
         _FUSED_PAIR_READY[(d1, d2, norm_type, causal)] = best

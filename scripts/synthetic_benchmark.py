@@ -107,6 +107,12 @@ def main(argv=None) -> int:
                     help="encoder filter length (40 keeps the 2.5 ms paper "
                          "window at 16 kHz)")
     ap.add_argument("--use-pallas", type=int, default=-1)
+    ap.add_argument("--causal", type=int, default=0,
+                    help="train the causal config (left-pad-only blocks; "
+                         "pair with --norm-type cLN like the reference's "
+                         "causal mode, src/conv_tasnet.py:182)")
+    ap.add_argument("--norm-type", default="gLN",
+                    choices=["gLN", "cLN", "BN"])
     ap.add_argument("--continue-from", default="",
                     help="resume an interrupted gate from a checkpoint "
                          "(e.g. <out>/exp/preempted.ckpt)")
@@ -143,6 +149,7 @@ def main(argv=None) -> int:
         "--steps-per-call", str(a.steps_per_call),
         "--use-pallas", str(a.use_pallas),
         "--n-model", str(a.n_model),
+        "--causal", str(a.causal), "--norm-type", a.norm_type,
     ] + (["--dpt-heads", str(a.dpt_heads)] if a.dpt_heads else [])
       + (["--dpt-layers", str(a.dpt_layers)] if a.dpt_layers else [])
       + (["--dpt-chunk", str(a.dpt_chunk)] if a.dpt_chunk else [])
