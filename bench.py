@@ -42,11 +42,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-INNER = 10
+# 30 chained forwards ≈ 160 ms of device work per fetch: the relay's
+# run-to-run RTT jitter (several ms) is ~2% of the signal instead of the
+# ~5-8% observed at the old INNER=10 (flagship readings 5,577-6,307x across
+# identical programs). Throughput per iteration is unchanged — the scan
+# body is identical, only the integration window grew.
+INNER = 30
+TRIALS = 9
 
 
 def dpt_line(batch_size: int = 8, seconds: float = 4.0,
-             trials: int = 5) -> None:
+             trials: int = TRIALS) -> None:
     """Labeled dual-path (second family) throughput line, printed ABOVE the
     contract line so round-over-round driver artifacts track both families.
     Best-effort: any failure here must not disturb the TCN contract line."""
@@ -90,7 +96,7 @@ def dpt_line(batch_size: int = 8, seconds: float = 4.0,
     }))
 
 
-def main(batch_size: int = 8, seconds: float = 4.0, trials: int = 5,
+def main(batch_size: int = 8, seconds: float = 4.0, trials: int = TRIALS,
          profile_dir: str = "") -> None:
     from convtasnet_tpu.utils.compile_cache import enable_compile_cache
 

@@ -128,6 +128,7 @@ def test_partial_inter_and_ffn_combine_to_full():
 
 @pytest.mark.parametrize("n_data,n_model,T", [(2, 4, 1200),
                                                (4, 2, 800)])
+@pytest.mark.slow
 def test_dpt_tp_matches_unsharded(n_data, n_model, T):
     cfg = ConvTasNetConfig(**DPT)
     variables = init_params(cfg, jax.random.PRNGKey(0), example_len=T)
@@ -140,6 +141,7 @@ def test_dpt_tp_matches_unsharded(n_data, n_model, T):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_dpt_tp_xla_fallback_matches():
     cfg = ConvTasNetConfig(**DPT, use_pallas=False)
     T = 800
@@ -151,6 +153,7 @@ def test_dpt_tp_xla_fallback_matches():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_dpt_tp_degenerate_model_axis():
     """model=1: full-width 'shards', psum over a singleton axis."""
     cfg = ConvTasNetConfig(**DPT)

@@ -50,6 +50,7 @@ def test_padded_tail_masked_out_of_attention():
                                np.asarray(out2[:, :Tv]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_model_pad_independence_end_to_end():
     """K not a multiple of dpt_chunk: outputs finite and deterministic."""
     cfg = _cfg(dpt_chunk=32)
@@ -70,6 +71,7 @@ def test_sinusoid_encoding_shape_range():
     assert np.all(np.abs(enc) <= 1.0 + 1e-6)
 
 
+@pytest.mark.slow
 def test_gradients_flow_everywhere():
     cfg = _cfg()
     model = ConvTasNet(cfg)
@@ -92,6 +94,7 @@ def test_gradients_flow_everywhere():
     assert all(float(jnp.max(jnp.abs(g))) > 0 for g in sep_leaves)
 
 
+@pytest.mark.slow
 def test_train_step_and_overfit_micro():
     """A real PIT train step drives the loss down on a fixed tiny batch —
     catches mask/positional/attention wiring bugs end to end."""
@@ -195,6 +198,7 @@ def test_tensor_parallel_train_step_dpt():
                                rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_data_parallel_train_step_dpt():
     """The GSPMD data-parallel train step works unchanged for the new
     family (batch-axis sharding only)."""

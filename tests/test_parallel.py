@@ -2,6 +2,7 @@
 equals single-device math, mesh helpers, and the driver dry-run contract."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -88,6 +89,7 @@ def test_sharded_step_with_fused_kernels_matches_xla():
                                    rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_dpt_step_with_fused_pair_matches_xla():
     """DP-sharded DPT train step with the fused inter-attention custom-VJP
     pair (interpret mode under the CPU mesh) == the same step through plain
@@ -127,6 +129,7 @@ def test_batch_actually_sharded():
     assert y.addressable_shards[0].data.shape == (1, 100)
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import importlib.util, pathlib
 

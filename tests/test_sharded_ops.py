@@ -11,6 +11,8 @@ from convtasnet_tpu.models.conv_tasnet import ConvTasNet, init_params
 from convtasnet_tpu.parallel.mesh import make_mesh
 from convtasnet_tpu.parallel.sharded_ops import separate_sharded
 
+pytestmark = pytest.mark.slow
+
 TINY = dict(n_filters=16, kernel_size=8, bottleneck=12, hidden=24,
             conv_kernel=3, num_blocks=3, num_repeats=2, num_speakers=2)
 

@@ -99,6 +99,7 @@ def test_stage2_fused_matches_xla_interpret(dilation, causal, K):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_tp_forward_gln_fused_interpret_matches_unsharded():
     """Full tp_forward with use_pallas on (CPU: interpret kernels engage
     unconditionally inside the shard_map) vs the unsharded XLA model."""
@@ -115,6 +116,7 @@ def test_tp_forward_gln_fused_interpret_matches_unsharded():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_tp_forward_gln_xla_stage2_matches_unsharded():
     """Same decomposition with the XLA stage 2 (use_pallas off) — the
     production fallback path inside the same shard_map."""

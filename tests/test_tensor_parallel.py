@@ -20,6 +20,7 @@ TINY = dict(n_filters=16, kernel_size=8, bottleneck=12, hidden=32,
 
 @pytest.mark.parametrize("norm_type,causal", [("gLN", False), ("cLN", True),
                                               ("BN", False)])
+@pytest.mark.slow
 def test_tp_matches_unsharded(norm_type, causal):
     cfg = ConvTasNetConfig(**TINY, norm_type=norm_type, causal=causal)
     T = 1600
@@ -33,6 +34,7 @@ def test_tp_matches_unsharded(norm_type, causal):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_tp_params_actually_sharded():
     cfg = ConvTasNetConfig(**TINY)
     variables = init_params(cfg, jax.random.PRNGKey(0), example_len=800)
@@ -52,6 +54,7 @@ def test_tp_params_actually_sharded():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_tp_softmax_three_speakers():
     cfg = ConvTasNetConfig(**{**TINY, "num_speakers": 3},
                            mask_nonlinear="softmax")
