@@ -150,7 +150,9 @@ def _tp2_kernel(
     dw_ref,     # [P, Hs]
     w_out_ref,  # [Hs, B]
     aff_ref,    # [3, Hs] f32: gamma1, beta1, gamma2
-    stat_ref,   # [1, 2] SMEM f32: mean1, rs1 (per sample)
+    stat_ref,   # [1, 1, 2] SMEM f32: mean1, rs1 (per sample; the unit
+                #   middle dim keeps the block's last-two dims equal to
+                #   the array's — Mosaic-legal for any M, jax 0.9.0 rule)
     scal_ref,   # [1, 1] SMEM f32: a2
     z_ref,      # [1, Kp, B]
     s_ref,      # [1, 2, 128] f32: rows broadcast sum y / sum y^2
@@ -169,8 +171,8 @@ def _tp2_kernel(
     right = 0 if causal else ((P - 1) * dilation) // 2
     n_tiles = Kp // tile
     a2 = scal_ref[0, 0]
-    mean1 = stat_ref[0, 0]
-    rs1 = stat_ref[0, 1]
+    mean1 = stat_ref[0, 0, 0]
+    rs1 = stat_ref[0, 0, 1]
 
     # gLN-1 fold (same algebra as the single-chip kernel, tcn_block.py
     # pass 2): conv(s·h + b) = Σ_p (w_p·s) h[k+pd] + b·Σ_p w_p, with the
@@ -274,7 +276,8 @@ def fused_tp_stage2(
             pl.BlockSpec((P, Hs), lambda m: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Hs, B), lambda m: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, Hs), lambda m: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda m: (m, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 2), lambda m: (m, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda m: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -299,7 +302,7 @@ def fused_tp_stage2(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(h.astype(cdtype), dw.astype(cdtype), w_out.astype(cdtype), aff,
-      stats1.astype(jnp.float32), scal)
+      stats1.astype(jnp.float32).reshape(M, 1, 2), scal)
     if Kp != K:
         z = z[:, :K, :]
     return z, sums[:, :, 0]
