@@ -40,11 +40,23 @@ def main(argv=None) -> int:
     ap.add_argument("--wav", required=True, help="held-out mixture")
     ap.add_argument("--chunk-ms", type=float, default=8.0)
     ap.add_argument("--tol", type=float, default=2e-3,
-                    help="max abs sample deviation allowed (float paths; "
-                         "bf16 compute in the offline path dominates)")
+                    help="max abs sample deviation allowed")
+    ap.add_argument("--f32", type=int, default=1,
+                    help="compare both paths in float32 (default). The "
+                         "check validates the STREAMING runtime (state "
+                         "carry, chunk boundaries) against the offline "
+                         "causal math; bf16/kernel numerics are gated "
+                         "separately (probe rel-err checks), and two bf16 "
+                         "paths with different accumulation orders differ "
+                         "at ~bf16 eps (~4e-3 rel), swamping a real "
+                         "boundary bug at f32 scale.")
     a = ap.parse_args(argv)
 
     cfg, variables = load_params_for_inference(a.model_path)
+    if a.f32:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, compute_dtype="float32")
     if not cfg.causal:
         print("checkpoint is not causal; nothing to stream", file=sys.stderr)
         return 2
