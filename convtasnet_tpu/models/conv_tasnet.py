@@ -297,16 +297,24 @@ class TemporalConvNet(nn.Module):
 
         def pair_variant(xblk: int):
             """Trace-time gate: fuse blocks (xblk, xblk+1) into one
-            two-block Pallas kernel? Inference-only (the training path
-            keeps the single-block custom-VJP pairs), gLN/cLN only, and a
-            pair engages on a real backend only after its probe compiled,
+            two-block Pallas kernel? gLN/cLN inference and gLN training
+            (pair custom-VJP, ops/pallas/tcn_block_pair_bwd); a pair
+            engages on a real backend only after its probe compiled,
             numerics-gated, and raced it against the chained single-block
-            winners (tcn_block_pair.ensure_probed_pairs, run from
-            tcn_block.ensure_probed)."""
-            if (train or not cfg.use_pallas or y.ndim != 3
+            winners (ensure_probed_pairs / ensure_probed_pair_train, run
+            from tcn_block.ensure_probed(_train))."""
+            if (not cfg.use_pallas or y.ndim != 3
                     or cfg.norm_type not in ("gLN", "cLN")
                     or xblk % 2 != 0 or xblk + 1 >= cfg.num_blocks):
                 return None
+            if train:
+                from convtasnet_tpu.ops.pallas.tcn_block_pair import (
+                    fused_block_pair_train_ready,
+                )
+
+                return fused_block_pair_train_ready(
+                    2 ** xblk, 2 ** (xblk + 1), cfg.norm_type, cfg.causal,
+                    jax.default_backend() == "cpu")
             from convtasnet_tpu.ops.pallas.tcn_block_pair import (
                 fused_block_pair_ready,
             )
@@ -323,6 +331,7 @@ class TemporalConvNet(nn.Module):
                 if variant is not None:
                     from convtasnet_tpu.ops.pallas.tcn_block_pair import (
                         fused_tcn_block_pair,
+                        fused_tcn_block_pair_ad,
                         pair_variant_kwargs,
                     )
 
@@ -332,11 +341,19 @@ class TemporalConvNet(nn.Module):
                     pb = block_cls(cfg, dilation=2 * d,
                                    name=f"block_r{r}_x{xblk + 1}")(
                         y, train, True)
-                    y = fused_tcn_block_pair(
-                        y, pa, pb, d1=d, d2=2 * d, causal=cfg.causal,
-                        norm_type=cfg.norm_type,
-                        interpret=jax.default_backend() == "cpu",
-                        **pair_variant_kwargs(variant))
+                    if train:
+                        kw = pair_variant_kwargs(variant)
+                        y = fused_tcn_block_pair_ad(
+                            y, pa, pb, d1=d, d2=2 * d, causal=cfg.causal,
+                            norm_type=cfg.norm_type, bwd=variant,
+                            interpret=jax.default_backend() == "cpu",
+                            **kw)
+                    else:
+                        y = fused_tcn_block_pair(
+                            y, pa, pb, d1=d, d2=2 * d, causal=cfg.causal,
+                            norm_type=cfg.norm_type,
+                            interpret=jax.default_backend() == "cpu",
+                            **pair_variant_kwargs(variant))
                     xblk += 2
                 else:
                     y = block_cls(cfg, dilation=d,

@@ -1275,6 +1275,7 @@ def ensure_probed_train(cfg, batch: int, T: int, verbose: bool = True) -> None:
             causal=cfg.causal, dtype=jnp.dtype(cfg.compute_dtype),
             verbose=verbose, verify_only=True)
         _PROBED_SHAPES.add(key)
+        _ensure_pair_train(cfg, batch, K, verbose)
         _validate_train_inmodel(cfg, batch, T, verbose)
         return
     results = probe_fused_block_train(
@@ -1285,7 +1286,26 @@ def ensure_probed_train(cfg, batch: int, T: int, verbose: bool = True) -> None:
         verbose=verbose)
     _autotune_cache_store(disk_key, results)
     _PROBED_SHAPES.add(key)
+    _ensure_pair_train(cfg, batch, K, verbose)
     _validate_train_inmodel(cfg, batch, T, verbose)
+
+
+def _ensure_pair_train(cfg, batch: int, K: int, verbose: bool) -> None:
+    """Probe the two-block pair TRAIN custom-VJP (tcn_block_pair) after the
+    single-block train registries settle — its race baseline chains those
+    winners. Best-effort: never fails the probe."""
+    try:
+        from convtasnet_tpu.ops.pallas.tcn_block_pair import (
+            ensure_probed_pair_train,
+        )
+
+        ensure_probed_pair_train(cfg, batch, K, verbose=verbose)
+    except Exception as e:  # noqa: BLE001 — singles stay in force
+        if verbose:
+            import sys as _sys
+
+            print(f"tcn pair-train probe skipped "
+                  f"({type(e).__name__}: {e})", file=_sys.stderr)
 
 
 def _validate_train_inmodel(cfg, batch: int, T: int, verbose: bool) -> None:

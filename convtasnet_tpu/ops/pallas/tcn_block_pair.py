@@ -553,6 +553,372 @@ def probe_fused_block_pairs(
     return results
 
 
+# --------------------------------------------------------------------------
+# Training path: pair custom-VJP (pair forward kernel + fused pair backward,
+# ops/pallas/tcn_block_pair_bwd.py). gLN only — the flagship train config.
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_pair_ad(static, x, *p18):
+    d1, d2, causal, norm_type, tile, h_dt, _bwd, interpret = static
+    return fused_tcn_block_pair(
+        x, p18[:9], p18[9:], d1=d1, d2=d2, causal=causal,
+        norm_type=norm_type, tile=tile, interpret=interpret, h_dtype=h_dt)
+
+
+def _fused_pair_fwd(static, x, *p18):
+    # Residuals are just the pair inputs — the backward kernel recomputes
+    # both blocks' intermediates (and the inter-block residual x1) in VMEM.
+    return _fused_pair_ad(static, x, *p18), (x,) + p18
+
+
+def _fused_pair_bwd(static, residuals, g):
+    d1, d2, causal, norm_type, tile, _h_dt, bwd, interpret = static
+    from convtasnet_tpu.ops.pallas.tcn_block_pair_bwd import (
+        fused_tcn_block_pair_bwd,
+    )
+
+    x = residuals[0]
+    pa = residuals[1:10]
+    pb = residuals[10:19]
+    kw = pair_variant_kwargs(bwd)
+    dx, ga, gb = fused_tcn_block_pair_bwd(
+        x, g, pa, pb, d1=d1, d2=d2, causal=causal, norm_type=norm_type,
+        tile=kw.get("tile", tile), interpret=interpret,
+        s_dtype=kw.get("h_dtype"))
+    return (dx,) + tuple(ga) + tuple(gb)
+
+
+_fused_pair_ad.defvjp(_fused_pair_fwd, _fused_pair_bwd)
+
+
+def fused_tcn_block_pair_ad(
+    x: jax.Array,
+    params_a,
+    params_b,
+    *,
+    d1: int,
+    d2: int,
+    causal: bool,
+    norm_type: str,
+    tile: int = 1600,
+    interpret: bool = False,
+    h_dtype=None,
+    bwd: str = "pair",
+):
+    """Differentiable fused pair: pair-kernel forward + fused single-kernel
+    pair backward. ``bwd`` is a pair-variant name (``pair[_f32][@tile]``)
+    selecting the backward's scratch dtype / K-tile; use
+    ``fused_block_pair_train_ready`` to pick this safely on a real
+    backend."""
+    if norm_type != "gLN":
+        raise ValueError("pair train path supports gLN only")
+    static = (d1, d2, causal, norm_type, tile, h_dtype, bwd, interpret)
+    return _fused_pair_ad(static, x, *params_a, *params_b)
+
+
+# (d1, d2, norm_type, causal) -> pair variant name | None (=two single-block
+# custom-VJP pairs / autodiff). Populated by probe_fused_pair_train.
+_PAIR_TRAIN_READY: dict = {}
+# fastest grads-verified pair-train variant, kept even when the chained
+# singles won the isolated race — the in-model train validator may promote
+# it (isolated races mispredict full-model cost in both directions).
+_PAIR_TRAIN_BEST_FUSED: dict = {}
+
+
+def fused_block_pair_train_ready(d1: int, d2: int, norm_type: str,
+                                 causal: bool, interpret: bool):
+    """Trace-time gate: may blocks (d1, d2) train as one fused pair
+    custom-VJP? Interpret mode returns "pair" so tests exercise the path;
+    on a real backend only after ``probe_fused_pair_train`` compiled,
+    grads-numerics-gated, and raced it against the chained single-block
+    train path."""
+    if not _pair_enabled() or norm_type != "gLN":
+        return None
+    if interpret:
+        return "pair"
+    return _PAIR_TRAIN_READY.get((d1, d2, norm_type, causal))
+
+
+def probe_fused_pair_train(
+    dilation_pairs,
+    *,
+    K: int,
+    batch: int,
+    bottleneck: int,
+    hidden: int,
+    conv_kernel: int = 3,
+    norm_type: str = "gLN",
+    causal: bool = False,
+    dtype=jnp.bfloat16,
+    tile: int = 1600,
+    retries: int = 2,
+    verbose: bool = False,
+    interpret: bool = False,
+    autotune: bool = True,
+    verify_only: bool = False,
+    check_numerics: Optional[bool] = None,
+) -> dict:
+    """AOT-compile, grads-numerics-gate, and race the pair TRAIN path per
+    dilation pair: full forward+backward through (a) the chained
+    single-block train path exactly as the model would run it
+    (``fused_tcn_block_ad`` with the per-dilation ``_FUSED_BWD_READY``
+    winners, plain autodiff where those are None) vs (b) the pair
+    custom-VJP. All 19 cotangents (dx + both blocks' weight grads) are
+    verified against XLA autodiff of the chained block math before any
+    timing. gLN only."""
+    import numpy as _np
+
+    from convtasnet_tpu.ops.pallas.tcn_block import (
+        _FUSED_BWD_READY,
+        _race,
+        _rel_err,
+        _time_or_none,  # noqa: F401 — via _race
+        fused_tcn_block_ad,
+    )
+
+    if check_numerics is None:
+        check_numerics = not interpret
+    if norm_type != "gLN":
+        return {tuple(p): None for p in dilation_pairs}
+
+    results = {}
+    rng = _np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, K, bottleneck)), dtype)
+    gb = jnp.zeros((hidden,), jnp.float32)
+    g1 = gb + 1
+    a = jnp.asarray(0.25, jnp.float32)
+
+    def make_weights(seed):
+        r = _np.random.default_rng(seed)
+        w_in = jnp.asarray(
+            r.standard_normal((bottleneck, hidden)) / _np.sqrt(bottleneck),
+            dtype)
+        dw = jnp.asarray(
+            r.standard_normal((conv_kernel, hidden)) * 0.1, dtype)
+        w_out = jnp.asarray(
+            r.standard_normal((hidden, bottleneck)) / _np.sqrt(hidden), dtype)
+        return (w_in, dw, w_out, a, a, g1, gb, g1, gb)
+
+    wa = make_weights(1)
+    wb = make_weights(2)
+    wargs = wa + wb
+
+    def grad_fn(chain19):
+        """x -> dx with ALL 19 cotangents computed (as training does)."""
+
+        def f(xx):
+            def loss(*args):
+                return jnp.sum(chain19(*args))
+
+            grads = jax.grad(loss, argnums=tuple(range(19)))(xx, *wargs)
+            return grads[0].astype(xx.dtype)
+
+        return f
+
+    def single_train_chain(d1, d2):
+        """Two blocks through the model's current TRAIN path for these
+        dilations (fused single-block custom-VJP pairs where their probes
+        won, autodiff otherwise)."""
+        from convtasnet_tpu.ops.pallas.tcn_block import variant_params
+
+        def one(d, off):
+            bwd_v = _FUSED_BWD_READY.get((d, norm_type, causal))
+            fwd_v = _FUSED_READY.get((d, norm_type, causal))
+
+            def blk(xx, *args):
+                w9 = args[off:off + 9]
+                if bwd_v is None:
+                    static = (d, causal, norm_type, tile, interpret)
+                    return _xla_block(static, xx, *w9, gb, g1, gb, g1)
+                store_h2, h_dt, _ = variant_params(fwd_v)
+                return fused_tcn_block_ad(
+                    xx, *w9, dilation=d, causal=causal,
+                    norm_type=norm_type, tile=tile, store_h2=store_h2,
+                    h_dtype=h_dt, interpret=interpret, bwd=bwd_v)
+
+            return blk
+
+        blk1 = one(d1, 0)
+        blk2 = one(d2, 9)
+        return lambda xx, *args: blk2(blk1(xx, *args), *args)
+
+    def xla_chain19(d1, d2):
+        sa = (d1, causal, norm_type, tile, interpret)
+        sb = (d2, causal, norm_type, tile, interpret)
+        return lambda xx, *args: _xla_block(
+            sb, _xla_block(sa, xx, *args[:9], gb, g1, gb, g1),
+            *args[9:], gb, g1, gb, g1)
+
+    def pair_chain(d1, d2, variant):
+        kw = pair_variant_kwargs(variant)
+        return lambda xx, *args: fused_tcn_block_pair_ad(
+            xx, args[:9], args[9:], d1=d1, d2=d2, causal=causal,
+            norm_type=norm_type, tile=kw.get("tile", tile),
+            h_dtype=kw.get("h_dtype"), bwd=variant, interpret=interpret)
+
+    base_variants = ["pair"]
+    if jnp.dtype(dtype) == jnp.bfloat16:
+        base_variants.append("pair_f32")
+    tile_cands = [tile]
+    if not interpret and tile != 800 and K >= 800:
+        tile_cands.append(800)
+    variants = [n + (f"@{t}" if t != tile else "")
+                for n in base_variants for t in tile_cands]
+
+    def grads_numerics(chain19_fused, chain19_ref, tol):
+        def full_grads(chain19):
+            def f(xx):
+                def loss(*args):
+                    return jnp.sum(chain19(*args))
+
+                return jax.grad(loss, argnums=tuple(range(19)))(xx, *wargs)
+
+            return f
+
+        try:
+            ref = jax.device_get(jax.jit(full_grads(chain19_ref))(x))
+        except Exception:  # noqa: BLE001
+            return True, float("nan")
+        try:
+            got = jax.device_get(jax.jit(full_grads(chain19_fused))(x))
+        except Exception:  # noqa: BLE001
+            return False, float("inf")
+        m = max(_rel_err(g, w) for g, w in zip(got, ref))
+        return m <= tol, m
+
+    # one chained-blocks grad tolerance: cotangents compound across both
+    # the fused boundary and the recompute, 2x the single-block train gate
+    # (which is itself 2x the forward gate); miscompiles are O(1) off.
+    tol = 2 * _pair_numerics_tol(dtype)
+
+    for d1, d2 in dilation_pairs:
+        d1, d2 = int(d1), int(d2)
+        pkey = (d1, d2, norm_type, causal)
+        to_try = variants
+        if verify_only:
+            winner = _PAIR_TRAIN_READY.get(pkey)
+            if winner is None:
+                results[(d1, d2)] = None
+                continue
+            to_try = [winner]
+        candidates = {}
+        for name in to_try:
+            fn = grad_fn(pair_chain(d1, d2, name))
+            err = None
+            for _ in range(retries + 1):
+                try:
+                    jax.jit(fn).lower(x).compile()
+                    candidates[name] = fn
+                    err = None
+                    break
+                except Exception as e:  # noqa: BLE001 — any compile failure
+                    err = e
+            if err is not None and verbose:
+                import sys as _sys
+
+                print(f"pallas pair-train probe d=({d1},{d2}) {name}: "
+                      f"compile failed ({type(err).__name__})",
+                      file=_sys.stderr)
+        timed = {}
+        if not candidates:
+            best = None
+        elif verify_only:
+            best = next(iter(candidates))
+        elif autotune:
+            best, timed = _race(
+                candidates, grad_fn(single_train_chain(d1, d2)), x, inner=40)
+            if verbose:
+                import sys as _sys
+
+                detail = " ".join(
+                    f"{k}={v * 1e3:.3f}ms" for k, v in sorted(timed.items()))
+                print(f"pallas pair-train probe d=({d1},{d2}): best="
+                      f"{best or 'singles'} ({detail})", file=_sys.stderr)
+        else:
+            best = next(iter(candidates))
+
+        def grads_ok(name: str) -> bool:
+            ok, merr = grads_numerics(
+                pair_chain(d1, d2, name), xla_chain19(d1, d2), tol)
+            if verbose:
+                import sys as _sys
+
+                state = "ok" if ok else "REJECTED"
+                print(f"pallas pair-train probe d=({d1},{d2}) {name}: grads "
+                      f"numerics vs autodiff chain (tol {tol:g}): max rel "
+                      f"err {merr:.2e} [{state}]", file=_sys.stderr)
+            return ok
+
+        numerics_failed = None
+        if best is not None and check_numerics and not grads_ok(best):
+            numerics_failed, best = best, None
+        if best is not None:
+            _PAIR_TRAIN_BEST_FUSED[pkey] = best
+        elif timed and check_numerics:
+            for bf in sorted((k for k in timed if k != "xla"),
+                             key=timed.get):
+                if bf == numerics_failed:
+                    continue
+                if grads_ok(bf):
+                    _PAIR_TRAIN_BEST_FUSED[pkey] = bf
+                    break
+        _PAIR_TRAIN_READY[pkey] = best
+        results[(d1, d2)] = best
+    return results
+
+
+_PAIR_TRAIN_PROBED_SHAPES: set = set()
+_PAIR_TRAIN_PROBED_CONFIGS: set = set()
+
+
+def ensure_probed_pair_train(cfg, batch: int, K: int,
+                             verbose: bool = True) -> None:
+    """Probe the pair TRAIN custom-VJP for every even-x (2**x, 2**(x+1))
+    pair (idempotent per shape; winners persist under ``pairtrain:`` disk
+    keys). Called from ``tcn_block.ensure_probed_train`` AFTER the
+    single-block train registries are settled — the race baseline chains
+    those winners."""
+    if not _pair_enabled() or cfg.norm_type != "gLN":
+        return
+    pairs = [(2 ** i, 2 ** (i + 1))
+             for i in range(0, cfg.num_blocks - 1, 2)]
+    if not pairs:
+        return
+    cfg_key = (cfg.bottleneck, cfg.hidden, cfg.conv_kernel, cfg.num_blocks,
+               cfg.norm_type, cfg.causal, cfg.compute_dtype)
+    key = (batch, K) + cfg_key
+    if key in _PAIR_TRAIN_PROBED_SHAPES:
+        return
+    verify_only = cfg_key in _PAIR_TRAIN_PROBED_CONFIGS
+    disk_key = "pairtrain:" + ":".join(str(v) for v in key)
+    if not verify_only:
+        cached = _autotune_cache_load().get(disk_key)  # truthy: {} re-races
+        if cached:
+            for k, w in cached.items():
+                a, b = k.split("-")
+                _PAIR_TRAIN_READY[
+                    (int(a), int(b), cfg.norm_type, cfg.causal)] = w
+            verify_only = True
+            if verbose:
+                import sys as _sys
+
+                print(f"pallas pair-train probe: autotune winners loaded "
+                      f"from disk ({disk_key})", file=_sys.stderr)
+    results = probe_fused_pair_train(
+        pairs, K=K, batch=batch, bottleneck=cfg.bottleneck,
+        hidden=cfg.hidden, conv_kernel=cfg.conv_kernel,
+        norm_type=cfg.norm_type, causal=cfg.causal,
+        dtype=jnp.dtype(cfg.compute_dtype), verbose=verbose,
+        verify_only=verify_only)
+    if not verify_only:
+        _autotune_cache_store(
+            disk_key, {f"{a}-{b}": w for (a, b), w in results.items()})
+    _PAIR_TRAIN_PROBED_SHAPES.add(key)
+    _PAIR_TRAIN_PROBED_CONFIGS.add(cfg_key)
+
+
 _PAIR_PROBED_SHAPES: set = set()
 _PAIR_PROBED_CONFIGS: set = set()
 

@@ -83,6 +83,26 @@ def validate_train_in_model(cfg, batch: int, T: int,
             for d in dilations}
     best_fused = {f"d{d}": _BWD_BEST_FUSED.get((d, cfg.norm_type, cfg.causal))
                   for d in dilations}
+    # Two-block pair train custom-VJPs (gLN): validated in the same greedy
+    # pass, pairs FIRST — an engaged pair bypasses its two singles in the
+    # model, so the pair decision must settle before the single toggles
+    # mean anything.
+    pair_names = []
+    if cfg.norm_type == "gLN":
+        from convtasnet_tpu.ops.pallas.tcn_block_pair import (
+            _PAIR_TRAIN_BEST_FUSED,
+            _PAIR_TRAIN_READY,
+            _pair_enabled,
+        )
+
+        if _pair_enabled():
+            for i in range(0, cfg.num_blocks - 1, 2):
+                d1, d2 = 2 ** i, 2 ** (i + 1)
+                nm = f"p{d1}-{d2}"
+                pkey = (d1, d2, cfg.norm_type, cfg.causal)
+                regs[nm] = (_PAIR_TRAIN_READY, pkey)
+                best_fused[nm] = _PAIR_TRAIN_BEST_FUSED.get(pkey)
+                pair_names.append(nm)
     disk_key = "tcn:inmodel-train:" + ":".join(str(v) for v in memo_key)
     cached = _autotune_cache_load().get(disk_key)
     if cached and apply_cached_decision(regs, cached):
@@ -103,7 +123,7 @@ def validate_train_in_model(cfg, batch: int, T: int,
         _INMODEL_DONE.add(memo_key)
         return
 
-    names = [f"d{d}" for d in dilations]
+    names = pair_names + [f"d{d}" for d in dilations]
     decision = greedy_validate(
         regs, best_fused, time_fn,
         demote_order=names,
