@@ -196,6 +196,26 @@ class SeparationDataset:
     def __len__(self) -> int:
         return len(self.plan)
 
+    def batch_shapes(self, pad_to_multiple: int = 1):
+        """Distinct ``[rows, T]`` mixture shapes this plan will materialize,
+        computed from the manifest alone (no audio decode). Mirrors
+        ``load_batch``'s padding exactly; used to AOT-probe/compile every
+        shape once at solver startup instead of inside the epoch loop."""
+        m = self.pad_rows_to_multiple
+        if self.segment_len >= 0:
+            if not self.plan:
+                return []
+            rows = ((self.batch_size + m - 1) // m) * m
+            return [(rows, self.segment_len)]
+        shapes = set()
+        for utts in self.plan:
+            rows = ((len(utts) + m - 1) // m) * m
+            maxT = max(u.num_samples for u in utts)
+            maxT = ((maxT + pad_to_multiple - 1)
+                    // pad_to_multiple) * pad_to_multiple
+            shapes.add((rows, maxT))
+        return sorted(shapes)
+
     # -- materialization ---------------------------------------------------
     def load_batch(self, index: int, pad_to_multiple: int = 1) -> Batch:
         """Decode one planned batch into fixed-shape arrays.

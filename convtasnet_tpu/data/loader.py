@@ -61,6 +61,12 @@ class BatchLoader:
     def __len__(self) -> int:
         return len(self.dataset)
 
+    def batch_shapes(self):
+        """Distinct ``[rows, T]`` mixture shapes this loader will yield,
+        from the plan alone (no decode) — lets the solver AOT-probe every
+        cv shape once at startup instead of inside the epoch loop."""
+        return self.dataset.batch_shapes(self.pad_to_multiple)
+
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 

@@ -104,6 +104,9 @@ class CachedDataset:
     def plan(self):
         return self.dataset.plan
 
+    def batch_shapes(self, pad_to_multiple: int = 1):
+        return self.dataset.batch_shapes(pad_to_multiple)
+
     def hit_fraction(self) -> float:
         return float(np.mean(self._filled[:] != 0)) if len(self) else 1.0
 

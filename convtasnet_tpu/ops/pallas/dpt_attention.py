@@ -40,6 +40,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from convtasnet_tpu.ops.pallas import probe_budget
+
 NEG_INF = -1e9
 _EPS = 1e-6
 
@@ -876,6 +878,13 @@ def ensure_probed_dpt_train(cfg, batch: int, T: int,
     shape_key = ("dpt-train",) + key
     if shape_key in _DPT_PROBED:
         return
+    if probe_budget.exhausted():
+        if verbose:
+            import sys as _sys
+
+            print("dpt train probe: probe budget exhausted -> xla this run "
+                  "(undecided at this shape)", file=_sys.stderr)
+        return
     ensure_probed_dpt(cfg, batch, T, verbose=verbose)
     disk_key = "dpt:train:" + ":".join(str(v) for v in shape_key[1:])
     cached = _autotune_cache_load().get(disk_key)  # truthy: {} re-probes
@@ -907,7 +916,10 @@ def ensure_probed_dpt_train(cfg, batch: int, T: int,
             win = probe_fused_inter_train(autotune=False, **kw)
     else:
         win = probe_fused_inter_train(**kw)
-        _DPT_BWD_CONFIG[cfg_key] = win
+        if win is not None or not probe_budget.exhausted():
+            _DPT_BWD_CONFIG[cfg_key] = win
+    if win is None and probe_budget.exhausted():
+        return  # budget-cut race is not evidence: don't persist/memoize
     _autotune_cache_store(disk_key, {"train": bool(win) if win else None})
     _DPT_PROBED.add(shape_key)
 
@@ -957,6 +969,13 @@ def _ensure_probed_inter(cfg, batch: int, T: int,
     shape_key = ("dpt",) + key
     if shape_key in _DPT_PROBED:
         return
+    if probe_budget.exhausted():
+        if verbose:
+            import sys as _sys
+
+            print("dpt probe: probe budget exhausted -> xla this run "
+                  "(undecided at this shape)", file=_sys.stderr)
+        return
     disk_key = "dpt:inter:" + ":".join(str(v) for v in shape_key[1:])
     cached = _autotune_cache_load().get(disk_key)  # truthy: {} re-probes
     if cached:
@@ -998,7 +1017,10 @@ def _ensure_probed_inter(cfg, batch: int, T: int,
         win = probe_fused_inter(M=batch, n=n, S=S, B=B, n_heads=h,
                                 dtype=jnp.dtype(cfg.compute_dtype),
                                 verbose=verbose)
-        _DPT_CONFIG_WINNERS[cfg_key] = win
+        if win is not None or not probe_budget.exhausted():
+            _DPT_CONFIG_WINNERS[cfg_key] = win
+    if win is None and probe_budget.exhausted():
+        return  # budget-cut race is not evidence: don't persist/memoize
     _autotune_cache_store(disk_key, {"inter": win,
                                      "best_fused": _DPT_BEST_FUSED.get(key)})
     _DPT_PROBED.add(shape_key)

@@ -32,6 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from convtasnet_tpu.ops.pallas import probe_budget
 from convtasnet_tpu.ops.pallas.dpt_attention import _out_vma
 
 _EPS = 1e-6
@@ -722,6 +723,13 @@ def ensure_probed_dpt_ffn_train(cfg, batch: int, T: int,
     shape_key = ("dpt-ffn-train",) + key
     if shape_key in _FFN_PROBED:
         return
+    if probe_budget.exhausted():
+        if verbose:
+            import sys as _sys
+
+            print("dpt ffn train probe: probe budget exhausted -> xla this run "
+                  "(undecided at this shape)", file=_sys.stderr)
+        return
     ensure_probed_dpt_ffn(cfg, batch, T, verbose=verbose)
     disk_key = "dpt:ffn-train:" + ":".join(str(v) for v in shape_key[1:])
     cached = _autotune_cache_load().get(disk_key)  # truthy: {} re-probes
@@ -751,7 +759,10 @@ def ensure_probed_dpt_ffn_train(cfg, batch: int, T: int,
             win = probe_fused_ffn_train(autotune=False, **kw)
     else:
         win = probe_fused_ffn_train(**kw)
-        _FFN_BWD_CONFIG[cfg_key] = win
+        if win is not None or not probe_budget.exhausted():
+            _FFN_BWD_CONFIG[cfg_key] = win
+    if win is None and probe_budget.exhausted():
+        return  # budget-cut race is not evidence: don't persist/memoize
     _autotune_cache_store(disk_key, {"train": bool(win) if win else None})
     _FFN_PROBED.add(shape_key)
 
@@ -781,6 +792,13 @@ def ensure_probed_dpt_ffn(cfg, batch: int, T: int,
     cfg_key = (batch, B, F, dt)
     shape_key = ("dpt-ffn",) + key
     if shape_key in _FFN_PROBED:
+        return
+    if probe_budget.exhausted():
+        if verbose:
+            import sys as _sys
+
+            print("dpt ffn probe: probe budget exhausted -> xla this run "
+                  "(undecided at this shape)", file=_sys.stderr)
         return
     disk_key = "dpt:ffn:" + ":".join(str(v) for v in shape_key[1:])
     cached = _autotune_cache_load().get(disk_key)  # truthy: {} re-probes
@@ -812,7 +830,10 @@ def ensure_probed_dpt_ffn(cfg, batch: int, T: int,
             win = probe_fused_ffn(autotune=False, only_tile=int(prev), **kw)
     else:
         win = probe_fused_ffn(**kw)
-        _FFN_CONFIG_WINNERS[cfg_key] = win
+        if win is not None or not probe_budget.exhausted():
+            _FFN_CONFIG_WINNERS[cfg_key] = win
+    if win is None and probe_budget.exhausted():
+        return  # budget-cut race is not evidence: don't persist/memoize
     _autotune_cache_store(disk_key, {"ffn": win,
                                      "best_fused": _FFN_BEST_FUSED.get(key)})
     _FFN_PROBED.add(shape_key)

@@ -43,6 +43,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from convtasnet_tpu.ops.pallas import probe_budget
 from convtasnet_tpu.ops.pallas.dpt_attention import _out_vma
 
 NEG_INF = -1e9
@@ -824,6 +825,13 @@ def ensure_probed_dpt_intra_train(cfg, batch: int, T: int,
     shape_key = ("dpt-intra-train",) + key
     if shape_key in _INTRA_PROBED:
         return
+    if probe_budget.exhausted():
+        if verbose:
+            import sys as _sys
+
+            print("dpt intra train probe: probe budget exhausted -> xla this run "
+                  "(undecided at this shape)", file=_sys.stderr)
+        return
     ensure_probed_dpt_intra(cfg, batch, T, verbose=verbose)
     disk_key = "dpt:intra-train:" + ":".join(str(v) for v in shape_key[1:])
     cached = _autotune_cache_load().get(disk_key)  # truthy: {} re-probes
@@ -853,7 +861,10 @@ def ensure_probed_dpt_intra_train(cfg, batch: int, T: int,
             win = probe_fused_intra_train(autotune=False, **kw)
     else:
         win = probe_fused_intra_train(**kw)
-        _INTRA_BWD_CONFIG[cfg_key] = win
+        if win is not None or not probe_budget.exhausted():
+            _INTRA_BWD_CONFIG[cfg_key] = win
+    if win is None and probe_budget.exhausted():
+        return  # budget-cut race is not evidence: don't persist/memoize
     _autotune_cache_store(disk_key, {"train": bool(win) if win else None})
     _INTRA_PROBED.add(shape_key)
 
@@ -881,6 +892,13 @@ def ensure_probed_dpt_intra(cfg, batch: int, T: int,
     cfg_key = (batch, S, B, h, dt)
     shape_key = ("dpt-intra",) + key
     if shape_key in _INTRA_PROBED:
+        return
+    if probe_budget.exhausted():
+        if verbose:
+            import sys as _sys
+
+            print("dpt intra probe: probe budget exhausted -> xla this run "
+                  "(undecided at this shape)", file=_sys.stderr)
         return
     disk_key = "dpt:intra:" + ":".join(str(v) for v in shape_key[1:])
     cached = _autotune_cache_load().get(disk_key)  # truthy: {} re-probes
@@ -919,7 +937,10 @@ def ensure_probed_dpt_intra(cfg, batch: int, T: int,
             win = probe_fused_intra(autotune=False, only_tile=ot, **kw)
     else:
         win = probe_fused_intra(**kw)
-        _INTRA_CONFIG_WINNERS[cfg_key] = win
+        if win is not None or not probe_budget.exhausted():
+            _INTRA_CONFIG_WINNERS[cfg_key] = win
+    if win is None and probe_budget.exhausted():
+        return  # budget-cut race is not evidence: don't persist/memoize
     _autotune_cache_store(disk_key, {"intra": win,
                                      "best_fused": _INTRA_BEST_FUSED.get(key)})
     _INTRA_PROBED.add(shape_key)

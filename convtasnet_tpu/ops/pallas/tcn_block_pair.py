@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from convtasnet_tpu.ops.pallas import probe_budget
 from convtasnet_tpu.ops.pallas.tcn_block import (
     EPS,
     _autotune_cache_load,
@@ -450,6 +451,22 @@ def probe_fused_block_pairs(
 
     for d1, d2 in dilation_pairs:
         d1, d2 = int(d1), int(d2)
+        if not interpret and probe_budget.exhausted():
+            # probe budget exhausted: this pair stays on the chained
+            # single-block path FOR THIS RUN — unrecorded in race mode (a
+            # fresh budget re-races), demoted in verify mode (an unproven
+            # compile can't be trusted inside the model's jit)
+            if verbose:
+                import sys as _sys
+
+                print(f"pallas pair probe d=({d1},{d2}): probe budget "
+                      f"exhausted -> unfused this run"
+                      + (" (winner demoted)" if verify_only
+                         else " (unrecorded)"), file=_sys.stderr)
+            if verify_only:
+                _FUSED_PAIR_READY[(d1, d2, norm_type, causal)] = None
+                results[(d1, d2)] = None
+            continue
         to_try = variants
         if verify_only:
             winner = _FUSED_PAIR_READY.get((d1, d2, norm_type, causal))
@@ -475,6 +492,8 @@ def probe_fused_block_pairs(
         compiled = {}
         aot = {}
         for name, h_dt, tl in to_try:
+            if not interpret and not verify_only and probe_budget.exhausted():
+                break  # budget died mid-pair: stop compiling variants
             fn = functools.partial(
                 fused_tcn_block_pair, d1=d1, d2=d2, causal=causal,
                 norm_type=norm_type, tile=tl, interpret=interpret,
@@ -494,6 +513,14 @@ def probe_fused_block_pairs(
 
                 print(f"pallas pair probe d=({d1},{d2}) {name}: compile "
                       f"failed ({type(err).__name__})", file=_sys.stderr)
+        if not interpret and not verify_only and probe_budget.exhausted():
+            if verbose:
+                import sys as _sys
+
+                print(f"pallas pair probe d=({d1},{d2}): probe budget "
+                      f"exhausted mid-pair -> unfused this run "
+                      f"(unrecorded)", file=_sys.stderr)
+            continue
         if compiled and check_numerics:
             tol = _pair_numerics_tol(dtype)
             ok, errs, verified = _verify_numerics(
@@ -531,6 +558,9 @@ def probe_fused_block_pairs(
             base2 = single_block(d2, wb)
             best, timed = _race(
                 compiled, lambda xx: base2(base(xx)), x, inner=100)
+            if (best is None and probe_budget.exhausted()
+                    and not any(k != "xla" for k in timed)):
+                continue  # budget cut the race before any candidate ran
             if verbose:
                 import sys as _sys
 
@@ -796,6 +826,20 @@ def probe_fused_pair_train(
     for d1, d2 in dilation_pairs:
         d1, d2 = int(d1), int(d2)
         pkey = (d1, d2, norm_type, causal)
+        if not interpret and probe_budget.exhausted():
+            # budget exhausted: train on the chained single-block path FOR
+            # THIS RUN — unrecorded in race mode, demoted in verify mode
+            if verbose:
+                import sys as _sys
+
+                print(f"pallas pair-train probe d=({d1},{d2}): probe "
+                      f"budget exhausted -> singles this run"
+                      + (" (winner demoted)" if verify_only
+                         else " (unrecorded)"), file=_sys.stderr)
+            if verify_only:
+                _PAIR_TRAIN_READY[pkey] = None
+                results[(d1, d2)] = None
+            continue
         to_try = variants
         if verify_only:
             winner = _PAIR_TRAIN_READY.get(pkey)
@@ -805,6 +849,8 @@ def probe_fused_pair_train(
             to_try = [winner]
         candidates = {}
         for name in to_try:
+            if not interpret and not verify_only and probe_budget.exhausted():
+                break  # budget died mid-pair: stop compiling variants
             fn = grad_fn(pair_chain(d1, d2, name))
             err = None
             for _ in range(retries + 1):
@@ -839,6 +885,20 @@ def probe_fused_pair_train(
         else:
             best = next(iter(candidates))
 
+        if (not interpret and not verify_only and probe_budget.exhausted()
+                and (best is not None
+                     or not any(k != "xla" for k in timed))):
+            # budget died mid-pair: the raced winner can no longer be
+            # cotangent-verified in time (or nothing was timed at all) —
+            # leave unrecorded; singles this run, re-raced on a fresh budget
+            if verbose:
+                import sys as _sys
+
+                print(f"pallas pair-train probe d=({d1},{d2}): probe "
+                      f"budget exhausted mid-pair -> singles this run "
+                      f"(unrecorded)", file=_sys.stderr)
+            continue
+
         def grads_ok(name: str) -> bool:
             ok, merr = grads_numerics(
                 pair_chain(d1, d2, name), xla_chain19(d1, d2), tol)
@@ -859,6 +919,8 @@ def probe_fused_pair_train(
         elif timed and check_numerics:
             for bf in sorted((k for k in timed if k != "xla"),
                              key=timed.get):
+                if not interpret and probe_budget.exhausted():
+                    break  # promotion candidate is optional: skip its gate
                 if bf == numerics_failed:
                     continue
                 if grads_ok(bf):
@@ -891,32 +953,48 @@ def ensure_probed_pair_train(cfg, batch: int, K: int,
     key = (batch, K) + cfg_key
     if key in _PAIR_TRAIN_PROBED_SHAPES:
         return
-    verify_only = cfg_key in _PAIR_TRAIN_PROBED_CONFIGS
     disk_key = "pairtrain:" + ":".join(str(v) for v in key)
-    if not verify_only:
-        cached = _autotune_cache_load().get(disk_key)  # truthy: {} re-races
+
+    def probe(ps, vo: bool):
+        return probe_fused_pair_train(
+            ps, K=K, batch=batch, bottleneck=cfg.bottleneck,
+            hidden=cfg.hidden, conv_kernel=cfg.conv_kernel,
+            norm_type=cfg.norm_type, causal=cfg.causal,
+            dtype=jnp.dtype(cfg.compute_dtype), verbose=verbose,
+            verify_only=vo)
+
+    if cfg_key in _PAIR_TRAIN_PROBED_CONFIGS:
+        probe(pairs, True)
+    else:
+        # truthy, possibly PARTIAL (budget-cut runs store what they raced)
+        cached = _autotune_cache_load().get(disk_key) or {}
         if cached:
             for k, w in cached.items():
                 a, b = k.split("-")
                 _PAIR_TRAIN_READY[
                     (int(a), int(b), cfg.norm_type, cfg.causal)] = w
-            verify_only = True
             if verbose:
                 import sys as _sys
 
                 print(f"pallas pair-train probe: autotune winners loaded "
-                      f"from disk ({disk_key})", file=_sys.stderr)
-    results = probe_fused_pair_train(
-        pairs, K=K, batch=batch, bottleneck=cfg.bottleneck,
-        hidden=cfg.hidden, conv_kernel=cfg.conv_kernel,
-        norm_type=cfg.norm_type, causal=cfg.causal,
-        dtype=jnp.dtype(cfg.compute_dtype), verbose=verbose,
-        verify_only=verify_only)
-    if not verify_only:
-        _autotune_cache_store(
-            disk_key, {f"{a}-{b}": w for (a, b), w in results.items()})
-    _PAIR_TRAIN_PROBED_SHAPES.add(key)
-    _PAIR_TRAIN_PROBED_CONFIGS.add(cfg_key)
+                      f"from disk ({disk_key}, {len(cached)}/{len(pairs)} "
+                      f"pairs)", file=_sys.stderr)
+        have_keys = {tuple(int(v) for v in k.split("-")) for k in cached}
+        have = [p for p in pairs if p in have_keys]
+        missing = [p for p in pairs if p not in have_keys]
+        if have:
+            probe(have, True)
+        if missing:
+            raced = probe(missing, False)
+            if raced:
+                _autotune_cache_store(
+                    disk_key,
+                    {f"{a}-{b}": w for (a, b), w in raced.items()})
+    if not probe_budget.exhausted():
+        # budget-cut probes leave pairs undecided for this run; a later
+        # call with a fresh budget finishes (and persists) the rest
+        _PAIR_TRAIN_PROBED_SHAPES.add(key)
+        _PAIR_TRAIN_PROBED_CONFIGS.add(cfg_key)
 
 
 _PAIR_PROBED_SHAPES: set = set()
@@ -940,29 +1018,45 @@ def ensure_probed_pairs(cfg, batch: int, K: int, verbose: bool = True) -> None:
     key = (batch, K) + cfg_key
     if key in _PAIR_PROBED_SHAPES:
         return
-    verify_only = cfg_key in _PAIR_PROBED_CONFIGS
     disk_key = "pair:" + ":".join(str(v) for v in key)
-    if not verify_only:
-        cached = _autotune_cache_load().get(disk_key)  # truthy: {} re-races
+
+    def probe(ps, vo: bool):
+        return probe_fused_block_pairs(
+            ps, K=K, batch=batch, bottleneck=cfg.bottleneck,
+            hidden=cfg.hidden, conv_kernel=cfg.conv_kernel,
+            norm_type=cfg.norm_type, causal=cfg.causal,
+            dtype=jnp.dtype(cfg.compute_dtype), verbose=verbose,
+            verify_only=vo)
+
+    if cfg_key in _PAIR_PROBED_CONFIGS:
+        probe(pairs, True)
+    else:
+        # truthy, possibly PARTIAL (budget-cut runs store what they raced)
+        cached = _autotune_cache_load().get(disk_key) or {}
         if cached:
             for k, w in cached.items():
                 a, b = k.split("-")
                 _FUSED_PAIR_READY[
                     (int(a), int(b), cfg.norm_type, cfg.causal)] = w
-            verify_only = True
             if verbose:
                 import sys as _sys
 
                 print(f"pallas pair probe: autotune winners loaded from "
-                      f"disk ({disk_key})", file=_sys.stderr)
-    results = probe_fused_block_pairs(
-        pairs, K=K, batch=batch, bottleneck=cfg.bottleneck,
-        hidden=cfg.hidden, conv_kernel=cfg.conv_kernel,
-        norm_type=cfg.norm_type, causal=cfg.causal,
-        dtype=jnp.dtype(cfg.compute_dtype), verbose=verbose,
-        verify_only=verify_only)
-    if not verify_only:
-        _autotune_cache_store(
-            disk_key, {f"{a}-{b}": w for (a, b), w in results.items()})
-    _PAIR_PROBED_SHAPES.add(key)
-    _PAIR_PROBED_CONFIGS.add(cfg_key)
+                      f"disk ({disk_key}, {len(cached)}/{len(pairs)} "
+                      f"pairs)", file=_sys.stderr)
+        have_keys = {tuple(int(v) for v in k.split("-")) for k in cached}
+        have = [p for p in pairs if p in have_keys]
+        missing = [p for p in pairs if p not in have_keys]
+        if have:
+            probe(have, True)
+        if missing:
+            raced = probe(missing, False)
+            if raced:
+                _autotune_cache_store(
+                    disk_key,
+                    {f"{a}-{b}": w for (a, b), w in raced.items()})
+    if not probe_budget.exhausted():
+        # budget-cut probes leave pairs undecided for this run; a later
+        # call with a fresh budget finishes (and persists) the rest
+        _PAIR_PROBED_SHAPES.add(key)
+        _PAIR_PROBED_CONFIGS.add(cfg_key)

@@ -418,6 +418,7 @@ def ensure_probed_tcn_tp(cfg, n_model: int, batch: int, T: int,
     """
     import numpy as np
 
+    from convtasnet_tpu.ops.pallas import probe_budget
     from convtasnet_tpu.ops.pallas.tcn_block import (
         _autotune_cache_load,
         _autotune_cache_store,
@@ -474,7 +475,18 @@ def ensure_probed_tcn_tp(cfg, n_model: int, batch: int, T: int,
     dilations = sorted({2 ** x for x in range(cfg.num_blocks)})
     # the forward phase may already be done (probed set) when a train=True
     # call follows a forward-only one in the same process
+    budget_cut = False
     for d in ([] if shape_tag in _TCN_TP_PROBED else dilations):
+        if probe_budget.exhausted():
+            # budget exhausted: remaining dilations stay on XLA this run,
+            # unrecorded — a fresh budget finishes (and persists) the rest
+            budget_cut = True
+            if verbose:
+                import sys as _sys
+
+                print(f"tcn tp probe d={d}: probe budget exhausted -> "
+                      f"xla this run (unrecorded)", file=_sys.stderr)
+            continue
         key = (d, K, Hs, B, cfg.causal, dt)
         disk_key = f"tcn:tp:d{d}:" + shape_tag
         cached = _autotune_cache_load().get(disk_key)  # {} falsy: re-probe
@@ -555,6 +567,7 @@ def ensure_probed_tcn_tp(cfg, n_model: int, batch: int, T: int,
                               f"numerics (rel err {errs[nm]:.2e})",
                               file=_sys.stderr)
                 compiled = {nm: f for nm, f in compiled.items() if nm in ok}
+        timed = {}
         if not compiled:
             best = None
         elif cached:
@@ -570,10 +583,15 @@ def ensure_probed_tcn_tp(cfg, n_model: int, batch: int, T: int,
                                   for k_, v in sorted(timed.items()))
                 print(f"tcn tp probe d={d}: best={best or 'xla'} "
                       f"({detail})", file=_sys.stderr)
+        if (best is None and not cached and probe_budget.exhausted()
+                and not any(k_ != "xla" for k_ in timed)):
+            budget_cut = True  # race never ran: not evidence, unrecorded
+            continue
         _TCN_TP_READY[key] = best
         if not cached:
             _autotune_cache_store(disk_key, {"variant": best})
-    _TCN_TP_PROBED.add(shape_tag)
+    if not budget_cut:
+        _TCN_TP_PROBED.add(shape_tag)
 
     if not train:
         return
@@ -596,6 +614,14 @@ def ensure_probed_tcn_tp(cfg, n_model: int, batch: int, T: int,
         key = (d, K, Hs, B, cfg.causal, dt)
         rkey = ("tcn-tp-train",) + key
         if rkey in _TCN_TP_TRAIN:
+            continue
+        if probe_budget.exhausted():
+            budget_cut = True
+            if verbose:
+                import sys as _sys
+
+                print(f"tcn tp train probe d={d}: probe budget exhausted "
+                      f"-> autodiff this run (unrecorded)", file=_sys.stderr)
             continue
         win = _TCN_TP_READY.get(key)
         if win is None:  # no fused forward: nothing to pair
@@ -621,4 +647,5 @@ def ensure_probed_tcn_tp(cfg, n_model: int, batch: int, T: int,
             race=not cached, registry=_TCN_TP_TRAIN, tag="tcn tp")
         if not cached:
             _autotune_cache_store(disk_key, {"win": bool(res)})
-    _TCN_TP_PROBED.add(shape_tag + ":train")
+    if not budget_cut:
+        _TCN_TP_PROBED.add(shape_tag + ":train")

@@ -118,6 +118,16 @@ def validate_train_in_model(cfg, batch: int, T: int,
         _INMODEL_DONE.add(memo_key)
         return
 
+    from convtasnet_tpu.ops.pallas import probe_budget
+
+    if probe_budget.exhausted():
+        # probe wall-clock budget exhausted: keep the raced winners
+        # as-is for this run; NOT memoized, so a fresh budget
+        # (next entry-point call / process) re-validates
+        _log(verbose, "tcn train inmodel: probe budget exhausted -> "
+                      "keeping raced winners (unvalidated)")
+        return
+
     time_fn = _r1_grad_timer(cfg, batch, T, verbose)
     if time_fn is None:  # timing infrastructure failed: keep raced winners
         _INMODEL_DONE.add(memo_key)

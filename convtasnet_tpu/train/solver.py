@@ -97,6 +97,12 @@ class Solver:
                                  < cfg.data.batch_size
                                  else cfg.data.batch_size)
             ensure_probed_train(cfg.model, train_shape_batch, example_len)
+            # Probe every bucketed cv shape ONCE here (round-4 VERDICT #5):
+            # the cv plan is static and its [rows, T] buckets are known from
+            # the manifest alone, so probing per-batch inside _run_cv_epoch
+            # only risked remote compiles mid-training.
+            for rows, T in self._cv_shapes():
+                ensure_probed(cfg.model, rows, T, verbose=False)
         self.state, self.tx = create_train_state(cfg.model, s, rng, example_len)
         n_model = 1
         if mesh is not None:
@@ -277,19 +283,22 @@ class Solver:
         losses.extend(float(x) for x in pending)
         return float(np.mean(losses)) if losses else float("nan")
 
+    def _cv_shapes(self):
+        """Distinct ``[rows, T]`` cv batch shapes, from the plan alone (no
+        decode). Every cv shape is probed once at startup — NOT inside the
+        epoch loop (round-4 VERDICT #5). Empty when the loader can't report
+        its plan (e.g. a test double): eval_step then sees only shapes the
+        startup probes covered or plain-XLA fallbacks."""
+        try:
+            return list(self.cv_loader.batch_shapes())
+        except Exception:  # noqa: BLE001 — loader without a static plan
+            return []
+
     def _run_cv_epoch(self, epoch: int) -> float:
         total, count = 0.0, 0
         for batch in self.cv_loader:
             if self._interrupted:
                 break
-            if self.cfg.model.use_pallas:
-                # cv utterances come in their own padded shapes — probe each
-                # before the jit so an unsupported (dilation, shape) degrades
-                # that block to XLA instead of failing the eval_step compile
-                from convtasnet_tpu.ops.pallas.tcn_block import ensure_probed
-
-                ensure_probed(self.cfg.model, batch[0].shape[0],
-                              batch[0].shape[1], verbose=False)
             loss = self.eval_step(self.state, batch)
             total += float(loss)
             count += 1

@@ -19,10 +19,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from convtasnet_tpu.utils.compile_cache import enable_compile_cache
-
-enable_compile_cache()
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -220,6 +216,12 @@ def main_chunked():
 
 if __name__ == "__main__":
     import sys
+
+    from convtasnet_tpu.utils.compile_cache import enable_compile_cache
+
+    # CLI-only (ADVICE r4): importing this module must not create cache
+    # dirs or mutate global jax config as a side effect
+    enable_compile_cache()
 
     if "--separator" in sys.argv and "dpt" in sys.argv:
         if "--train" in sys.argv:

@@ -24,6 +24,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["CONVTASNET_AUTOTUNE_CACHE"] = tempfile.mkdtemp(
     prefix="convtasnet-test-autotune-")
 
+# The probe wall-clock budget (ops/pallas/probe_budget) must never trip
+# mid-suite — one pytest process runs for ~an hour. 0 = unlimited; tests
+# that exercise the budget call probe_budget.begin()/reset() explicitly.
+os.environ["CONVTASNET_PROBE_BUDGET"] = "0"
+
 # The in-model winner re-validation (ops/pallas/dpt_inmodel) times the real
 # separator stack on-device; several registry tests monkeypatch the backend
 # to "tpu", which would otherwise trigger it. Tests that exercise it opt in

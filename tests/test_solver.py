@@ -208,3 +208,83 @@ def test_profile_dir_gets_trace(tmp_path):
     assert prof.exists()
     found = list(prof.rglob("*.xplane.pb")) + list(prof.rglob("*.trace.json.gz"))
     assert found, list(prof.rglob("*"))
+
+
+def test_cv_shapes_probed_once_at_startup(tmp_path, monkeypatch):
+    """Round-4 VERDICT #5: every distinct cv [rows, T] bucket is probed
+    exactly once at solver startup; _run_cv_epoch itself never probes (a
+    new padded shape mid-training would otherwise trigger remote compiles
+    inside the epoch)."""
+    import dataclasses
+
+    from convtasnet_tpu.ops.pallas import tcn_block as tb
+
+    calls = []
+    monkeypatch.setattr(
+        tb, "ensure_probed",
+        lambda cfg, b, T, verbose=True: calls.append(("fwd", b, T)))
+    monkeypatch.setattr(
+        tb, "ensure_probed_train",
+        lambda cfg, b, T, verbose=True: calls.append(("train", b, T)))
+
+    class CvLoader(FakeLoader):
+        def batch_shapes(self):
+            return [(1, 2400), (2, 1600)]
+
+    cfg = TrainConfig(
+        model=dataclasses.replace(TINY, use_pallas=True),
+        data=DataConfig(segment=0.1, batch_size=2),
+        solver=SolverConfig(epochs=1, lr=1e-3, print_freq=1000,
+                            save_folder=str(tmp_path / "exp")))
+    s = Solver(cfg, FakeLoader(), CvLoader(n_batches=1))
+    fwd_calls = [c for c in calls if c[0] == "fwd"]
+    # startup: each distinct cv bucket probed exactly once (plus the
+    # train-shape probe, which ensure_probed dedups internally anyway)
+    assert fwd_calls.count(("fwd", 1, 2400)) == 1
+    assert fwd_calls.count(("fwd", 2, 1600)) == 1
+
+    calls.clear()
+    s._run_cv_epoch(0)
+    assert calls == []  # no probing inside the cv epoch loop
+
+
+def test_batch_shapes_match_loaded_batches(tmp_path):
+    """dataset.batch_shapes() (manifest-only) must agree with the shapes
+    load_batch actually materializes, in both planning modes."""
+    import json as _json
+
+    from convtasnet_tpu.data.audio_io import write_wav
+    from convtasnet_tpu.data.dataset import SeparationDataset
+    from convtasnet_tpu.data.loader import BatchLoader
+
+    sr = 8000
+    rng = np.random.default_rng(0)
+    infos = {"mix": [], "s1": [], "s2": []}
+    for i, n in enumerate([900, 1700, 2600]):
+        for k in infos:
+            p = str(tmp_path / f"{k}_{i}.wav")
+            write_wav(p, rng.standard_normal(n).astype(np.float32) * 0.1, sr)
+            infos[k].append([p, n])
+    for k, v in infos.items():
+        with open(tmp_path / f"{k}.json", "w") as f:
+            _json.dump(v, f)
+
+    # full-utterance mode (the cv path): per-batch padded shapes
+    ds = SeparationDataset(str(tmp_path), 2, sr, segment=-1.0,
+                           num_speakers=2)
+    pad = 1000
+    want = ds.batch_shapes(pad_to_multiple=pad)
+    got = sorted({ds.load_batch(i, pad_to_multiple=pad).mixture.shape
+                  for i in range(len(ds))})
+    assert [tuple(w) for w in want] == [tuple(g) for g in got]
+    lo = BatchLoader(ds, pad_to_multiple=pad)
+    assert lo.batch_shapes() == want
+
+    # segment mode (the train path): one static shape
+    ds2 = SeparationDataset(str(tmp_path), 4, sr, segment=0.1,
+                            num_speakers=2)
+    want2 = ds2.batch_shapes()
+    got2 = sorted({ds2.load_batch(i).mixture.shape
+                   for i in range(len(ds2))})
+    assert len(want2) == 1 and [tuple(w) for w in want2] == \
+        [tuple(g) for g in got2]
