@@ -145,6 +145,12 @@ class SolverConfig:
     # epoch into `profile_dir` (empty = off). SURVEY §5 tracing subsystem.
     profile_dir: str = ""
     profile_steps: int = 10
+    # Wall-clock cap on the startup autotune probe chain (seconds; 0 =
+    # unlimited). Training amortizes the races over hours, so its default
+    # is far above the bench/driver default (ops/pallas/probe_budget):
+    # the cap only exists so a wedged remote-compile service can't hang
+    # startup forever. CONVTASNET_PROBE_BUDGET overrides when set.
+    probe_budget_s: float = 3600.0
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)

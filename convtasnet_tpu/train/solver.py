@@ -84,11 +84,20 @@ class Solver:
             # instead of failing the whole train-step jit, and so the fused
             # train path only engages where it actually wins on-device
             # (ops/pallas/tcn_block.py).
+            from convtasnet_tpu.ops.pallas import probe_budget
             from convtasnet_tpu.ops.pallas.tcn_block import (
                 ensure_probed,
                 ensure_probed_train,
             )
 
+            # Training gets a far larger probe budget than the bench/driver
+            # default — races amortize over hours here; the cap only guards
+            # against a wedged remote-compile service. An explicit
+            # CONVTASNET_PROBE_BUDGET env still wins.
+            if not os.environ.get("CONVTASNET_PROBE_BUDGET", "").strip():
+                probe_budget.begin(s.probe_budget_s)
+            else:
+                probe_budget.begin()
             ensure_probed(cfg.model, cfg.data.batch_size, example_len)
             # probe at the per-slice shape when gradient accumulation chunks
             # the batch — those are the shapes the fused train pair runs at

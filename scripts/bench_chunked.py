@@ -63,6 +63,12 @@ def main(batch: int = 32, chunk: int = 8, separator: str = "tcn") -> None:
 
 
 if __name__ == "__main__":
+    from convtasnet_tpu.ops.pallas import probe_budget
+
+    # measurement scripts want the FULL race, not the bench/driver's
+    # deadline-capped subset (explicit env still wins)
+    if not os.environ.get("CONVTASNET_PROBE_BUDGET", "").strip():
+        probe_budget.begin(0)
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     c = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     sep = sys.argv[3] if len(sys.argv) > 3 else "tcn"

@@ -131,4 +131,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    from convtasnet_tpu.ops.pallas import probe_budget
+
+    # measurement scripts want the FULL race, not the bench/driver's
+    # deadline-capped subset (explicit env still wins)
+    if not os.environ.get("CONVTASNET_PROBE_BUDGET", "").strip():
+        probe_budget.begin(0)
     main()

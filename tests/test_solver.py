@@ -288,3 +288,36 @@ def test_batch_shapes_match_loaded_batches(tmp_path):
                    for i in range(len(ds2))})
     assert len(want2) == 1 and [tuple(w) for w in want2] == \
         [tuple(g) for g in got2]
+
+
+def test_solver_arms_training_probe_budget(tmp_path, monkeypatch):
+    """Training arms the generous SolverConfig.probe_budget_s (races
+    amortize over hours), not the bench/driver's 6-min default; an explicit
+    CONVTASNET_PROBE_BUDGET env var still wins."""
+    import dataclasses
+
+    from convtasnet_tpu.ops.pallas import probe_budget
+    from convtasnet_tpu.ops.pallas import tcn_block as tb
+
+    monkeypatch.setattr(tb, "ensure_probed", lambda *a, **k: None)
+    monkeypatch.setattr(tb, "ensure_probed_train", lambda *a, **k: None)
+    armed = []
+    monkeypatch.setattr(probe_budget, "begin",
+                        lambda s=None: armed.append(s))
+
+    def build():
+        cfg = TrainConfig(
+            model=dataclasses.replace(TINY, use_pallas=True),
+            data=DataConfig(segment=0.1, batch_size=2),
+            solver=SolverConfig(epochs=1, lr=1e-3, print_freq=1000,
+                                save_folder=str(tmp_path / "exp")))
+        Solver(cfg, FakeLoader(), FakeLoader(n_batches=1))
+
+    monkeypatch.delenv("CONVTASNET_PROBE_BUDGET", raising=False)
+    build()
+    assert armed == [3600.0]
+
+    armed.clear()
+    monkeypatch.setenv("CONVTASNET_PROBE_BUDGET", "120")
+    build()
+    assert armed == [None]  # None = read the env var / module default
