@@ -81,8 +81,11 @@ def dpt_line(batch_size: int = 8, seconds: float = 4.0,
         return jnp.sum(final)
 
     fwd = jax.jit(chain)
-    rng = np.random.default_rng(0)
-    mixture = jnp.asarray(rng.standard_normal((batch_size, T)), jnp.float32)
+    # mixture generated on device: the relay moves bulk arrays at well
+    # under 1 MB/s, so even a 1 MB upload costs seconds
+    mixture = jax.jit(
+        lambda k: jax.random.normal(k, (batch_size, T), jnp.float32)
+    )(jax.random.PRNGKey(0))
     rtt_s = rtt_baseline(mixture, trials=trials)
     jax.device_get(fwd(params, mixture))
     dt = max(median_fetch_seconds(fwd, params, mixture, trials=trials)
@@ -139,8 +142,10 @@ def main(batch_size: int = 8, seconds: float = 4.0, trials: int = TRIALS,
         return jnp.sum(final)
 
     fwd = jax.jit(chain)
-    rng = np.random.default_rng(0)
-    mixture = jnp.asarray(rng.standard_normal((batch_size, T)), jnp.float32)
+    # mixture generated on device (see dpt_line: relay bulk bandwidth)
+    mixture = jax.jit(
+        lambda k: jax.random.normal(k, (batch_size, T), jnp.float32)
+    )(jax.random.PRNGKey(0))
 
     # shared relay timing protocol: device_get-forced, RTT-subtracted
     from convtasnet_tpu.utils.timing import median_fetch_seconds, rtt_baseline

@@ -477,13 +477,16 @@ def probe_fused_ffn(
         check_numerics = not interpret
 
     key = (M, Kp, B, F, str(jnp.dtype(dtype)))
+    # on-device probe arrays (host->device = one PRNG key; relay bandwidth)
+    from convtasnet_tpu.ops.pallas.tcn_block import _probe_inputs
+
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((M, Kp, B)), dtype)
+    x, w_up, w_down = _probe_inputs(
+        [((M, Kp, B), 1.0), ((B, F), 1.0 / np.sqrt(B)),
+         ((F, B), 1.0 / np.sqrt(F))], dtype)
     gamma = jnp.ones((B,), jnp.float32)
     beta = jnp.zeros((B,), jnp.float32)
-    w_up = jnp.asarray(rng.standard_normal((B, F)) / np.sqrt(B), dtype)
     b_up = jnp.asarray(rng.standard_normal((F,)) * 0.02, jnp.float32)
-    w_down = jnp.asarray(rng.standard_normal((F, B)) / np.sqrt(F), dtype)
     b_down = jnp.asarray(rng.standard_normal((B,)) * 0.02, jnp.float32)
     wargs = (gamma, beta, w_up, b_up, w_down, b_down)
 
@@ -596,7 +599,6 @@ def probe_fused_ffn_train(
     from convtasnet_tpu.ops.pallas.tcn_block import (
         _numerics_tol,
         _race,
-        _rel_err,
     )
 
     if check_numerics is None:
@@ -605,13 +607,15 @@ def probe_fused_ffn_train(
     key = (M, Kp, B, F, str(jnp.dtype(dtype)))
     if verify_only and _FFN_BWD_READY.get(key) is None:
         return None
+    from convtasnet_tpu.ops.pallas.tcn_block import _probe_inputs
+
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((M, Kp, B)), dtype)
+    x, w_up, w_down = _probe_inputs(
+        [((M, Kp, B), 1.0), ((B, F), 1.0 / np.sqrt(B)),
+         ((F, B), 1.0 / np.sqrt(F))], dtype)
     gamma = jnp.ones((B,), jnp.float32)
     beta = jnp.zeros((B,), jnp.float32)
-    w_up = jnp.asarray(rng.standard_normal((B, F)) / np.sqrt(B), dtype)
     b_up = jnp.asarray(rng.standard_normal((F,)) * 0.02, jnp.float32)
-    w_down = jnp.asarray(rng.standard_normal((F, B)) / np.sqrt(F), dtype)
     b_down = jnp.asarray(rng.standard_normal((B,)) * 0.02, jnp.float32)
     wargs = (gamma, beta, w_up, b_up, w_down, b_down)
     kt = _FFN_READY.get(key) or _pick_k_tile(Kp, B, F)
@@ -678,10 +682,12 @@ def probe_fused_ffn_train(
 
             return f
 
+        from convtasnet_tpu.ops.pallas.tcn_block import _rel_err_device
+
         try:
-            ref = jax.device_get(jax.jit(full_grads(xla_ffn))(x))
-            got = jax.device_get(jax.jit(full_grads(fused))(x))
-            merr = max(_rel_err(g_, w_) for g_, w_ in zip(got, ref))
+            ref = jax.jit(full_grads(xla_ffn))(x)  # stays on device
+            got = jax.jit(full_grads(fused))(x)
+            merr = float(jax.device_get(_rel_err_device(got, ref)))
             ok = merr <= tol
         except Exception:  # noqa: BLE001 — reference failed: cannot verify
             ok, merr = True, float("nan")

@@ -157,9 +157,11 @@ def _separator_timer(cfg, batch: int, T: int,
 
     K = (T - cfg.kernel_size) // cfg.stride + 1
     N = cfg.n_filters
-    rng = np.random.default_rng(0)
-    w = jnp.asarray(rng.standard_normal((batch, K, N)),
-                    jnp.dtype(cfg.compute_dtype))
+    # on-device probe input (host->device = one PRNG key; relay bandwidth)
+    from convtasnet_tpu.ops.pallas.tcn_block import _probe_inputs
+
+    (w,) = _probe_inputs([((batch, K, N), 1.0)],
+                         jnp.dtype(cfg.compute_dtype))
     mod = DualPathSeparator(cfg)
     variables = mod.init(jax.random.PRNGKey(0), w)
 

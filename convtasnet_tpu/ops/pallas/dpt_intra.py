@@ -576,14 +576,14 @@ def probe_fused_intra(
         check_numerics = not interpret
 
     key = (M, n, S, B, n_heads, str(jnp.dtype(dtype)))
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((M, n, S, B)), dtype)
+    # on-device probe arrays (host->device = one PRNG key; relay bandwidth)
+    from convtasnet_tpu.ops.pallas.tcn_block import _probe_inputs
+
+    x, w_qkv, w_out = _probe_inputs(
+        [((M, n, S, B), 1.0), ((B, 3 * B), 1.0 / np.sqrt(B)),
+         ((B, B), 1.0 / np.sqrt(B))], dtype)
     gamma = jnp.ones((B,), jnp.float32)
     beta = jnp.zeros((B,), jnp.float32)
-    w_qkv = jnp.asarray(
-        rng.standard_normal((B, 3 * B)) / np.sqrt(B), dtype)
-    w_out = jnp.asarray(
-        rng.standard_normal((B, B)) / np.sqrt(B), dtype)
     valid = np.ones((n, S), bool)
     valid[-1, S // 2:] = False
     bias = jnp.asarray(np.where(valid, 0.0, NEG_INF), jnp.float32)
@@ -695,7 +695,6 @@ def probe_fused_intra_train(
     from convtasnet_tpu.ops.pallas.tcn_block import (
         _numerics_tol,
         _race,
-        _rel_err,
     )
 
     if check_numerics is None:
@@ -704,12 +703,13 @@ def probe_fused_intra_train(
     key = (M, n, S, B, n_heads, str(jnp.dtype(dtype)))
     if verify_only and _INTRA_BWD_READY.get(key) is None:
         return None
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((M, n, S, B)), dtype)
+    from convtasnet_tpu.ops.pallas.tcn_block import _probe_inputs
+
+    x, w_qkv, w_out = _probe_inputs(
+        [((M, n, S, B), 1.0), ((B, 3 * B), 1.0 / np.sqrt(B)),
+         ((B, B), 1.0 / np.sqrt(B))], dtype)
     gamma = jnp.ones((B,), jnp.float32)
     beta = jnp.zeros((B,), jnp.float32)
-    w_qkv = jnp.asarray(rng.standard_normal((B, 3 * B)) / np.sqrt(B), dtype)
-    w_out = jnp.asarray(rng.standard_normal((B, B)) / np.sqrt(B), dtype)
     valid = np.ones((n, S), bool)
     valid[-1, S // 2:] = False
     bias = jnp.asarray(np.where(valid, 0.0, NEG_INF), jnp.float32)
@@ -780,10 +780,12 @@ def probe_fused_intra_train(
 
             return f
 
+        from convtasnet_tpu.ops.pallas.tcn_block import _rel_err_device
+
         try:
-            ref = jax.device_get(jax.jit(full_grads(xla))(x))
-            got = jax.device_get(jax.jit(full_grads(fused))(x))
-            merr = max(_rel_err(g_, w_) for g_, w_ in zip(got, ref))
+            ref = jax.jit(full_grads(xla))(x)  # stays on device
+            got = jax.jit(full_grads(fused))(x)
+            merr = float(jax.device_get(_rel_err_device(got, ref)))
             ok = merr <= tol
         except Exception:  # noqa: BLE001 — reference failed: cannot verify
             ok, merr = True, float("nan")

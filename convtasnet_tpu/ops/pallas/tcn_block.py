@@ -597,6 +597,44 @@ def _rel_err(got, want) -> float:
     return float(_np.linalg.norm(g - w) / (_np.linalg.norm(w) + 1e-12))
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _rel_err_device(got, want, interpret: bool = False):
+    """Max relative L2 error across matching pytree leaves, computed ON
+    DEVICE — only the scalar crosses the host link. The tunneled relay in
+    this environment moves bulk arrays at well under 1 MB/s, so fetching a
+    [8, 3199, 256] probe output for a host-side compare costs minutes;
+    this is the difference between a numerics gate that fits the probe
+    budget and one that eats it (round-5 postmortem of the round-4 cold
+    bench timeout)."""
+    del interpret  # same math everywhere; arg keeps cache keys honest
+
+    def leaf_err(g, w):
+        g = g.astype(jnp.float32).ravel()
+        w = w.astype(jnp.float32).ravel()
+        return (jnp.linalg.norm(g - w)
+                / (jnp.linalg.norm(w) + jnp.float32(1e-12)))
+
+    errs = [leaf_err(g, w) for g, w in zip(
+        jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want))]
+    return jnp.max(jnp.stack(errs))
+
+
+def _probe_inputs(shapes_scales, dtype, seed: int = 0):
+    """Standard-normal probe arrays generated ON DEVICE from one PRNG key
+    (host->device traffic = the 8-byte key, not the arrays; see
+    ``_rel_err_device`` for why that matters through the relay). Returns a
+    list matching ``shapes_scales`` = [(shape, scale), ...]."""
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(shapes_scales))
+
+    @jax.jit
+    def gen(ks):
+        return [jax.random.normal(k, shape, jnp.dtype(dtype))
+                * jnp.asarray(scale, jnp.dtype(dtype))
+                for k, (shape, scale) in zip(ks, shapes_scales)]
+
+    return gen(keys)
+
+
 def _numerics_tol(dtype) -> float:
     """Acceptance tolerance (relative L2) for fused-vs-XLA outputs. bf16
     VMEM scratches bound elementwise accuracy at ~1e-2; a miscompile
@@ -606,7 +644,9 @@ def _numerics_tol(dtype) -> float:
 
 def _verify_numerics(exec_fns: dict, ref_fn, tol: float):
     """Run each (already-compiled) candidate once and compare against the
-    XLA reference output on-device. Returns ``(ok_names, errs, verified)``.
+    XLA reference output ENTIRELY on-device (``_rel_err_device``): only the
+    scalar error crosses the relay, never the [M, K, B] outputs. Returns
+    ``(ok_names, errs, verified)``.
 
     A candidate whose execution fails or whose relative error exceeds
     ``tol`` is excluded from ``ok_names``. If the XLA reference itself
@@ -616,13 +656,13 @@ def _verify_numerics(exec_fns: dict, ref_fn, tol: float):
     a silently-miscompiled kernel (fast garbage) into training.
     """
     try:
-        ref = jax.device_get(ref_fn())
+        ref = ref_fn()  # stays on device
     except Exception:  # noqa: BLE001 — compile service / runtime
         return set(exec_fns), {}, False
     ok, errs = set(), {}
     for name, run in exec_fns.items():
         try:
-            err = _rel_err(jax.device_get(run()), ref)
+            err = float(jax.device_get(_rel_err_device(run(), ref)))
         except Exception:  # noqa: BLE001
             err = float("inf")
         errs[name] = err
@@ -634,8 +674,10 @@ def _verify_numerics(exec_fns: dict, ref_fn, tol: float):
 def _train_grads_numerics(fused10, xla10, x, wargs, tol: float):
     """Numerics gate for a raced train winner: compare ALL ten cotangents
     (dx + every weight/affine/slope grad) of the fused train path against
-    XLA autodiff of the block math. Returns ``(ok, max_rel_err)``; the
-    reference failing to build returns ``(True, nan)`` (cannot verify)."""
+    XLA autodiff of the block math — compared ON DEVICE, only the scalar
+    max-rel-err crosses the relay (the cotangent pytree is >100 MB at the
+    B=24 train shape). Returns ``(ok, max_rel_err)``; the reference failing
+    to build returns ``(True, nan)`` (cannot verify)."""
 
     def full_grads(block10):
         def f(xx):
@@ -647,14 +689,14 @@ def _train_grads_numerics(fused10, xla10, x, wargs, tol: float):
         return f
 
     try:
-        ref = jax.device_get(jax.jit(full_grads(xla10))(x))
+        ref = jax.jit(full_grads(xla10))(x)  # stays on device
     except Exception:  # noqa: BLE001
         return True, float("nan")
     try:
-        got = jax.device_get(jax.jit(full_grads(fused10))(x))
+        got = jax.jit(full_grads(fused10))(x)
+        m = float(jax.device_get(_rel_err_device(got, ref)))
     except Exception:  # noqa: BLE001
         return False, float("inf")
-    m = max(_rel_err(g, w) for g, w in zip(got, ref))
     return m <= tol, m
 
 
@@ -746,13 +788,13 @@ def probe_fused_block(
         check_numerics = not interpret
 
     results = {}
-    rng = _np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((batch, K, bottleneck)), dtype)
-    w_in = jnp.asarray(
-        rng.standard_normal((bottleneck, hidden)) / _np.sqrt(bottleneck), dtype)
-    dw = jnp.asarray(rng.standard_normal((conv_kernel, hidden)) * 0.1, dtype)
-    w_out = jnp.asarray(
-        rng.standard_normal((hidden, bottleneck)) / _np.sqrt(hidden), dtype)
+    # probe arrays are generated ON DEVICE (host->device = one PRNG key,
+    # not ~13 MB of activations — the relay's bulk bandwidth is abysmal)
+    x, w_in, dw, w_out = _probe_inputs(
+        [((batch, K, bottleneck), 1.0),
+         ((bottleneck, hidden), 1.0 / _np.sqrt(bottleneck)),
+         ((conv_kernel, hidden), 0.1),
+         ((hidden, bottleneck), 1.0 / _np.sqrt(hidden))], dtype)
     gb = jnp.zeros((hidden,), jnp.float32)
     g1 = gb + 1
     a = jnp.asarray(0.25, jnp.float32)
@@ -990,13 +1032,12 @@ def probe_fused_block_train(
         check_numerics = not interpret
 
     results = {}
-    rng = _np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((batch, K, bottleneck)), dtype)
-    w_in = jnp.asarray(
-        rng.standard_normal((bottleneck, hidden)) / _np.sqrt(bottleneck), dtype)
-    dw = jnp.asarray(rng.standard_normal((conv_kernel, hidden)) * 0.1, dtype)
-    w_out = jnp.asarray(
-        rng.standard_normal((hidden, bottleneck)) / _np.sqrt(hidden), dtype)
+    # on-device probe arrays: see probe_fused_block (relay bandwidth)
+    x, w_in, dw, w_out = _probe_inputs(
+        [((batch, K, bottleneck), 1.0),
+         ((bottleneck, hidden), 1.0 / _np.sqrt(bottleneck)),
+         ((conv_kernel, hidden), 0.1),
+         ((hidden, bottleneck), 1.0 / _np.sqrt(hidden))], dtype)
     gb = jnp.zeros((hidden,), jnp.float32)
     g1 = gb + 1
     a = jnp.asarray(0.25, jnp.float32)

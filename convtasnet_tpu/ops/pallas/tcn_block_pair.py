@@ -45,6 +45,7 @@ from convtasnet_tpu.ops.pallas.tcn_block import (
     _autotune_cache_store,
     _FUSED_READY,
     _numerics_tol,
+    _probe_inputs,
     _race,
     _round_up,
     _tile_rows,
@@ -399,25 +400,17 @@ def probe_fused_block_pairs(
         check_numerics = not interpret
 
     results = {}
-    rng = _np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((batch, K, bottleneck)), dtype)
+    # on-device probe arrays: see tcn_block._probe_inputs (relay bandwidth)
     gb = jnp.zeros((hidden,), jnp.float32)
     g1 = gb + 1
     a = jnp.asarray(0.25, jnp.float32)
-
-    def make_weights(seed):
-        r = _np.random.default_rng(seed)
-        w_in = jnp.asarray(
-            r.standard_normal((bottleneck, hidden)) / _np.sqrt(bottleneck),
-            dtype)
-        dw = jnp.asarray(
-            r.standard_normal((conv_kernel, hidden)) * 0.1, dtype)
-        w_out = jnp.asarray(
-            r.standard_normal((hidden, bottleneck)) / _np.sqrt(hidden), dtype)
-        return (w_in, dw, w_out, a, a, g1, gb, g1, gb)
-
-    wa = make_weights(1)
-    wb = make_weights(2)
+    wspec = [((bottleneck, hidden), 1.0 / _np.sqrt(bottleneck)),
+             ((conv_kernel, hidden), 0.1),
+             ((hidden, bottleneck), 1.0 / _np.sqrt(hidden))]
+    x, wa1, wa2, wa3, wb1, wb2, wb3 = _probe_inputs(
+        [((batch, K, bottleneck), 1.0)] + wspec + wspec, dtype)
+    wa = (wa1, wa2, wa3, a, a, g1, gb, g1, gb)
+    wb = (wb1, wb2, wb3, a, a, g1, gb, g1, gb)
 
     def single_block(d, w9):
         """One block through the model's current best path for dilation d."""
@@ -703,7 +696,6 @@ def probe_fused_pair_train(
     from convtasnet_tpu.ops.pallas.tcn_block import (
         _FUSED_BWD_READY,
         _race,
-        _rel_err,
         _time_or_none,  # noqa: F401 — via _race
         fused_tcn_block_ad,
     )
@@ -714,25 +706,17 @@ def probe_fused_pair_train(
         return {tuple(p): None for p in dilation_pairs}
 
     results = {}
-    rng = _np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((batch, K, bottleneck)), dtype)
+    # on-device probe arrays: see tcn_block._probe_inputs (relay bandwidth)
     gb = jnp.zeros((hidden,), jnp.float32)
     g1 = gb + 1
     a = jnp.asarray(0.25, jnp.float32)
-
-    def make_weights(seed):
-        r = _np.random.default_rng(seed)
-        w_in = jnp.asarray(
-            r.standard_normal((bottleneck, hidden)) / _np.sqrt(bottleneck),
-            dtype)
-        dw = jnp.asarray(
-            r.standard_normal((conv_kernel, hidden)) * 0.1, dtype)
-        w_out = jnp.asarray(
-            r.standard_normal((hidden, bottleneck)) / _np.sqrt(hidden), dtype)
-        return (w_in, dw, w_out, a, a, g1, gb, g1, gb)
-
-    wa = make_weights(1)
-    wb = make_weights(2)
+    wspec = [((bottleneck, hidden), 1.0 / _np.sqrt(bottleneck)),
+             ((conv_kernel, hidden), 0.1),
+             ((hidden, bottleneck), 1.0 / _np.sqrt(hidden))]
+    x, wa1, wa2, wa3, wb1, wb2, wb3 = _probe_inputs(
+        [((batch, K, bottleneck), 1.0)] + wspec + wspec, dtype)
+    wa = (wa1, wa2, wa3, a, a, g1, gb, g1, gb)
+    wb = (wb1, wb2, wb3, a, a, g1, gb, g1, gb)
     wargs = wa + wb
 
     def grad_fn(chain19):
@@ -807,15 +791,17 @@ def probe_fused_pair_train(
 
             return f
 
+        from convtasnet_tpu.ops.pallas.tcn_block import _rel_err_device
+
         try:
-            ref = jax.device_get(jax.jit(full_grads(chain19_ref))(x))
+            ref = jax.jit(full_grads(chain19_ref))(x)  # stays on device
         except Exception:  # noqa: BLE001
             return True, float("nan")
         try:
-            got = jax.device_get(jax.jit(full_grads(chain19_fused))(x))
+            got = jax.jit(full_grads(chain19_fused))(x)
+            m = float(jax.device_get(_rel_err_device(got, ref)))
         except Exception:  # noqa: BLE001
             return False, float("inf")
-        m = max(_rel_err(g, w) for g, w in zip(got, ref))
         return m <= tol, m
 
     # one chained-blocks grad tolerance: cotangents compound across both

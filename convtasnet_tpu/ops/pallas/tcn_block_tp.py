@@ -424,7 +424,7 @@ def ensure_probed_tcn_tp(cfg, n_model: int, batch: int, T: int,
         _autotune_cache_store,
         _numerics_tol,
         _race,
-        _rel_err,
+        _rel_err_device,
     )
 
     if (not getattr(cfg, "use_pallas", False)
@@ -446,12 +446,15 @@ def ensure_probed_tcn_tp(cfg, n_model: int, batch: int, T: int,
             not train or shape_tag + ":train" in _TCN_TP_PROBED):
         return
     rng = np.random.default_rng(0)
-    h = jnp.asarray(rng.standard_normal((batch, K, Hs)), dtype)
+    from convtasnet_tpu.ops.pallas.tcn_block import _probe_inputs
+
+    # on-device probe arrays (host->device = one PRNG key; relay bandwidth)
+    h, dw, w_out = _probe_inputs(
+        [((batch, K, Hs), 1.0), ((P, Hs), 1.0 / np.sqrt(P)),
+         ((Hs, B), 1.0 / np.sqrt(Hs))], dtype)
     stats1 = jnp.asarray(
         np.stack([np.full((batch,), 0.1), np.full((batch,), 1.3)], -1),
         jnp.float32)
-    dw = jnp.asarray(rng.standard_normal((P, Hs)) / np.sqrt(P), dtype)
-    w_out = jnp.asarray(rng.standard_normal((Hs, B)) / np.sqrt(Hs), dtype)
     a2 = jnp.float32(0.25)
     g1 = jnp.asarray(rng.standard_normal((Hs,)) * 0.1 + 1.0, jnp.float32)
     b1 = jnp.asarray(rng.standard_normal((Hs,)) * 0.1, jnp.float32)
@@ -460,7 +463,7 @@ def ensure_probed_tcn_tp(cfg, n_model: int, batch: int, T: int,
     # output back as the input): project z back to [M, K, Hs] and fold the
     # sums in so neither output is dead code. The extra matmul is common to
     # every candidate AND the XLA baseline, so the ordering is preserved.
-    w_back = jnp.asarray(rng.standard_normal((B, Hs)) / np.sqrt(B), dtype)
+    (w_back,) = _probe_inputs([((B, Hs), 1.0 / np.sqrt(B))], dtype, seed=1)
 
     def chainable(fn):
         def g(hh):
@@ -541,15 +544,15 @@ def ensure_probed_tcn_tp(cfg, n_model: int, batch: int, T: int,
             # on-device (tuple output: compare piecewise, take the max)
             tol = _numerics_tol(dtype)
             try:
-                ref = jax.device_get(jax.jit(xla_fn)(h))
+                ref = jax.jit(xla_fn)(h)  # stays on device
             except Exception:  # noqa: BLE001 — no reference: keep compiled
                 ref = None
             if ref is not None:
                 ok, errs = set(), {}
                 for nm in compiled:
                     try:
-                        got = jax.device_get(aot[nm](h))
-                        e = max(_rel_err(g_, w_) for g_, w_ in zip(got, ref))
+                        e = float(jax.device_get(
+                            _rel_err_device(aot[nm](h), ref)))
                     except Exception:  # noqa: BLE001
                         e = float("inf")
                     errs[nm] = e

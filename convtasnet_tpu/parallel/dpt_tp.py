@@ -278,7 +278,7 @@ def _probe_tp_train_sub(sub: str, key: tuple, fused_grad, xla_grad, x,
     from convtasnet_tpu.ops.pallas.tcn_block import (
         _numerics_tol,
         _race,
-        _rel_err,
+        _rel_err_device,
     )
 
     if registry is None:
@@ -316,11 +316,10 @@ def _probe_tp_train_sub(sub: str, key: tuple, fused_grad, xla_grad, x,
     if best:
         tol = 2 * _numerics_tol(dtype)
         try:
-            ref = jax.device_get(jax.jit(xla_grad, static_argnums=(1,))(
-                x, True))
-            got = jax.device_get(jax.jit(fused_grad, static_argnums=(1,))(
-                x, True))
-            merr = max(_rel_err(g_, w_) for g_, w_ in zip(got, ref))
+            # compared ON DEVICE: only the scalar crosses the relay
+            ref = jax.jit(xla_grad, static_argnums=(1,))(x, True)
+            got = jax.jit(fused_grad, static_argnums=(1,))(x, True)
+            merr = float(jax.device_get(_rel_err_device(got, ref)))
             ok = merr <= tol
         except Exception:  # noqa: BLE001 — reference failed
             ok, merr = True, float("nan")
