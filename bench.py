@@ -81,18 +81,28 @@ def _watchdog(argv: list) -> int:
       → re-print that real measurement as the final stdout line;
     - otherwise → print the stale/error fallback line.
 
-    ``CONVTASNET_BENCH_DEADLINE`` seconds (default 1500 — comfortably
-    above a healthy budget-capped cold run at ~12 min, and intended to sit
-    inside the driver's own kill timeout); <= 0 disables the wrapper.
+    ``CONVTASNET_BENCH_DEADLINE`` seconds (default 2400 — a healthy
+    budget-capped cold run on a pathologically slow relay measured 32 min
+    end-to-end in round 5, so the deadline must sit ABOVE that, and still
+    inside the driver's own kill timeout); <= 0 disables the wrapper. An
+    explicit ``CONVTASNET_PROBE_BUDGET <= 0`` (unlimited races — a
+    measurement run, not the driver) also disables it: an unbounded race
+    chain under a fixed deadline would be killed mid-probe by design.
     """
     import subprocess
     import time
 
+    raw_budget = os.environ.get("CONVTASNET_PROBE_BUDGET", "").strip()
+    try:
+        if raw_budget and float(raw_budget) <= 0:
+            return -1  # unlimited-race measurement run: no deadline
+    except ValueError:
+        pass
     try:
         deadline = float(
-            os.environ.get("CONVTASNET_BENCH_DEADLINE", "").strip() or 1500)
+            os.environ.get("CONVTASNET_BENCH_DEADLINE", "").strip() or 2400)
     except ValueError:
-        deadline = 1500.0
+        deadline = 2400.0
     if deadline <= 0:
         return -1  # disabled: caller runs the bench in-process
     env = dict(os.environ, CONVTASNET_BENCH_WATCHDOG="1")

@@ -52,8 +52,12 @@ def _patch_child(monkeypatch, child):
 
 @pytest.fixture()
 def bench_cache(tmp_path, monkeypatch):
-    """Point the last_bench side-file at an isolated directory."""
+    """Point the last_bench side-file at an isolated directory. The suite
+    conftest exports CONVTASNET_PROBE_BUDGET=0 (unlimited), which
+    implicitly disables the watchdog — clear it so these tests exercise
+    the child paths."""
     monkeypatch.setenv("CONVTASNET_COMPILE_CACHE", str(tmp_path))
+    monkeypatch.delenv("CONVTASNET_PROBE_BUDGET", raising=False)
     return tmp_path
 
 
@@ -129,3 +133,10 @@ class TestWatchdog:
     def test_deadline_zero_disables(self, bench_cache, monkeypatch):
         monkeypatch.setenv("CONVTASNET_BENCH_DEADLINE", "0")
         assert bench._watchdog([]) == -1  # caller falls through in-process
+
+    def test_unlimited_probe_budget_disables(self, bench_cache,
+                                             monkeypatch):
+        # an unbounded race chain under a fixed deadline would be killed
+        # mid-probe by design — measurement runs opt out implicitly
+        monkeypatch.setenv("CONVTASNET_PROBE_BUDGET", "0")
+        assert bench._watchdog([]) == -1
